@@ -1,0 +1,108 @@
+"""Stage 2 — entity linking: broadcast alias-dictionary join + salted join.
+
+Mention surfaces resolve through a broadcast alias dictionary (one hop of
+kg.vocab.ALIAS_EDGES); unresolved surfaces get a deterministic provisional
+entity (``ent:<surface>``). Media triples link subject->document node and
+object->media node directly (no dictionary needed).
+
+Skew: a head entity ("the" of entities) makes the linking join's build/
+probe hot on one key. Two defenses, both here:
+* ``F.broadcast`` on the dictionary (no shuffle of the big side at all) —
+  the default, because alias dictionaries are small relative to mentions;
+* :func:`salted_join` for the case where the right side is too big to
+  broadcast — explodes the small side xK salts and sprays the hot keys of
+  the big side across K partitions. AQE skew-join stays enabled as the
+  backstop (kg.session).
+
+Reference analog: the kNN entity lookup against Milvus
+(``api/milvus_adapter.py:80-94``) — the "find the entity for this
+surface" operation — re-expressed as joins (SURVEY §2.6 J2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kg.ids import id64
+from kg.vocab import ENTITY_KIND, alias_pairs
+
+
+def alias_dict(spark: SparkSession) -> DataFrame:
+    """(surface, target, target_id) — the broadcast linking dictionary."""
+    rows = [(s, t) for s, t in alias_pairs()]
+    df = spark.createDataFrame(rows, "surface string, target string")
+    return df.withColumn("target_id", id64(F.concat(F.lit("ent:"), F.col("target"))))
+
+
+def link_triples(triples_surface: DataFrame, aliases: DataFrame) -> DataFrame:
+    """TRIPLES_SURFACE -> TRIPLES_LINKED via broadcast dictionary joins."""
+    mention = triples_surface.filter(F.col("subj_pos") >= 0)
+    media = triples_surface.filter(F.col("subj_pos") < 0)
+
+    b = F.broadcast(aliases)
+    linked = (
+        mention.join(
+            b.select(
+                F.col("surface").alias("subj_surface"),
+                F.col("target_id").alias("_subj_id"),
+            ),
+            "subj_surface",
+            "left",
+        )
+        .join(
+            b.select(
+                F.col("surface").alias("obj_surface"),
+                F.col("target_id").alias("_obj_id"),
+            ),
+            "obj_surface",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "offset",
+            F.coalesce(
+                "_subj_id", id64(F.concat(F.lit("ent:"), F.col("subj_surface")))
+            ).alias("subj_id"),
+            F.lit(ENTITY_KIND).alias("subj_kind"),
+            "pred",
+            F.coalesce(
+                "_obj_id", id64(F.concat(F.lit("ent:"), F.col("obj_surface")))
+            ).alias("obj_id"),
+            F.lit(ENTITY_KIND).alias("obj_kind"),
+        )
+    )
+    media_linked = media.select(
+        "doc_id",
+        "offset",
+        id64(F.concat(F.lit("doc:"), F.col("doc_id"))).alias("subj_id"),
+        F.lit("document").alias("subj_kind"),
+        "pred",
+        id64(F.col("obj_surface")).alias("obj_id"),
+        F.lit("media").alias("obj_kind"),
+    )
+    return linked.unionByName(media_linked)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "left",
+) -> DataFrame:
+    """Skew-defusing equi-join: salt the big side, explode the small side.
+
+    ``big`` gains ``_salt = pmod(xxhash64(key, row-entropy), n_salts)``;
+    ``small`` is replicated n_salts times; the join key becomes
+    (key, _salt), so a single hot key spreads over ``n_salts`` tasks.
+    Columns returned = big's columns + small's non-key columns (matching a
+    plain ``big.join(small, key, how)``).
+    """
+    salt_src = [F.col(c) for c in big.columns]
+    salted_big = big.withColumn("_salt", F.pmod(F.xxhash64(*salt_src), F.lit(n_salts)))
+    exploded_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast(salted_big.schema["_salt"].dataType))
+    out = salted_big.join(exploded_small, [key, "_salt"], how)
+    return out.drop("_salt")

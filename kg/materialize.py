@@ -1,0 +1,163 @@
+"""Stage 4 — graph materialization: bucketed nodes/edges + resumable commit.
+
+Edges are bucketed by subject hash (``bucket = pmod(subj_id, n_buckets)``)
+so downstream per-subject traversals and joins co-locate without a
+shuffle; buckets are written in ``n_groups`` partition groups, each group
+committed to the manifest *after* its data is durable. A killed run
+re-executes only the uncommitted groups (anti-join against the manifest),
+and the final table is byte-equal to a single-run write.
+
+Reference analog: the partition-identity thread part-NNNN.parquet ->
+part-NNNN_embeddings.npy -> per-partition Milvus insert loop
+(``infra/scripts/load_data.py:51-92``), minus the positional-alignment
+fragility: identity here is an explicit bucket column.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kg import manifest as mf
+from kg.ids import id64
+
+
+class InjectedFailure(RuntimeError):
+    """Raised by tests to simulate a mid-run kill between partition groups."""
+
+
+def with_bucket(edges: DataFrame, n_buckets: int) -> DataFrame:
+    return edges.withColumn(
+        "bucket", F.pmod(F.col("subj_id"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def edges_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "edges")
+
+
+def nodes_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "nodes")
+
+
+def materialize_edges(
+    spark: SparkSession,
+    edges: DataFrame,
+    out_dir: str,
+    *,
+    run_id: str,
+    lineage: str,
+    n_buckets: int = 16,
+    n_groups: int = 4,
+    fail_after_groups: int | None = None,
+) -> int:
+    """Write bucketed edges in resumable partition groups; return rows written
+    across groups committed *by this call*."""
+    bucketed = with_bucket(edges, n_buckets)
+    done = mf.committed_partitions(spark, out_dir, "materialize_edges", lineage)
+    total = 0
+    for g in range(n_groups):
+        if g in done:
+            continue
+        if fail_after_groups is not None and len(done) >= fail_after_groups:
+            raise InjectedFailure(f"injected failure before group {g}")
+        started = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        group_dir = os.path.join(edges_path(out_dir), f"part_group={g}")
+        subset = bucketed.filter(F.pmod(F.col("bucket"), F.lit(n_groups)) == g)
+        # deterministic file layout: repartition by bucket then sort inside
+        subset.repartition(F.col("bucket")).sortWithinPartitions(
+            "bucket", "subj_id", "pred", "obj_id", "doc_id", "offset"
+        ).write.mode("overwrite").parquet(group_dir)
+        rows = spark.read.parquet(group_dir).count()  # parquet-footer count
+        mf.commit_partition(
+            spark,
+            out_dir,
+            run_id=run_id,
+            stage="materialize_edges",
+            partition_id=g,
+            rows_in=None,
+            rows_out=rows,
+            skip_reasons=None,
+            started_at=started,
+            lineage=lineage,
+        )
+        done.add(g)
+        total += rows
+    return total
+
+
+def build_nodes(
+    triples_surface: DataFrame, canon: DataFrame, edges_final: DataFrame
+) -> DataFrame:
+    """NODES table: concept nodes from the canonical map, document/media
+    nodes from surface triples, mention counts from final edges."""
+    concepts = canon.select(
+        F.col("canonical_id").alias("entity_id"),
+        F.col("canonical_name").alias("name"),
+        F.lit("concept").alias("kind"),
+    ).distinct()
+    media_rows = triples_surface.filter(F.col("subj_pos") < 0)
+    docs = media_rows.select(
+        id64(F.concat(F.lit("doc:"), F.col("doc_id"))).alias("entity_id"),
+        F.col("doc_id").alias("name"),
+        F.lit("document").alias("kind"),
+    ).distinct()
+    media = media_rows.select(
+        id64(F.col("obj_surface")).alias("entity_id"),
+        F.col("obj_surface").alias("name"),
+        F.lit("media").alias("kind"),
+    ).distinct()
+    all_nodes = concepts.unionByName(docs).unionByName(media)
+    mentions = (
+        edges_final.select(F.col("subj_id").alias("entity_id"))
+        .unionByName(edges_final.select(F.col("obj_id").alias("entity_id")))
+        .groupBy("entity_id")
+        .agg(F.count("*").alias("n_mentions"))
+    )
+    return all_nodes.join(mentions, "entity_id", "left").select(
+        "entity_id",
+        "name",
+        "kind",
+        F.coalesce("n_mentions", F.lit(0)).cast("long").alias("n_mentions"),
+    )
+
+
+def materialize_nodes(
+    spark: SparkSession,
+    nodes: DataFrame,
+    out_dir: str,
+    *,
+    run_id: str,
+    lineage: str,
+) -> int:
+    done = mf.committed_partitions(spark, out_dir, "materialize_nodes", lineage)
+    if 0 in done:
+        return 0
+    started = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    path = nodes_path(out_dir)
+    nodes.repartition(1).sortWithinPartitions("entity_id").write.mode(
+        "overwrite"
+    ).parquet(path)
+    rows = spark.read.parquet(path).count()
+    mf.commit_partition(
+        spark,
+        out_dir,
+        run_id=run_id,
+        stage="materialize_nodes",
+        partition_id=0,
+        rows_in=None,
+        rows_out=rows,
+        skip_reasons=None,
+        started_at=started,
+        lineage=lineage,
+    )
+    return rows
+
+
+def reset_output(out_dir: str) -> None:
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)

@@ -1,0 +1,214 @@
+"""DuckDB oracle SQL for every pipeline stage.
+
+Each function returns ANSI-ish SQL runnable by DuckDB over the driver's
+registered views (``documents`` etc.) that reproduces the corresponding
+Spark stage's exact output — independent re-implementations of the same
+declared semantics (kg.vocab + kg.synth derivation), used by the driver's
+CORRECTNESS gate and by tests/test_pipeline.py.
+
+The canonicalization oracle uses a pure-Python union-find closure
+(kg.vocab.canonical_closure) — independent of the Spark iterative
+connected-components implementation it checks.
+"""
+
+from __future__ import annotations
+
+from kg.ids import py_id64, sql_id64
+from kg.synth import SQL_EXPLODED_SPANS
+from kg.vocab import (
+    DEFAULT_PRED,
+    ENTITY_SURFACES,
+    PREDICATES,
+    alias_pairs,
+    canonical_map_rows,
+)
+
+
+def _in_list(vals: list[str]) -> str:
+    return "(" + ", ".join("'" + v + "'" for v in vals) + ")"
+
+
+def spans_sql() -> str:
+    return SQL_EXPLODED_SPANS
+
+
+# Token/mention/pair CTE chain shared by extraction-level oracles.
+_TRIPLES_CTE = f"""
+WITH spans AS ({SQL_EXPLODED_SPANS}),
+tokl AS (
+  SELECT doc_id, "offset", list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM spans WHERE kind = 'text'
+),
+tok AS (
+  SELECT doc_id, "offset", unnest(l) AS tok, unnest(range(len(l))) AS p FROM tokl
+),
+m AS (
+  SELECT doc_id, "offset", tok, p,
+         lead(tok) OVER w AS obj_tok, lead(p) OVER w AS obj_p
+  FROM tok WHERE tok IN {_in_list(ENTITY_SURFACES)}
+  WINDOW w AS (PARTITION BY doc_id, "offset" ORDER BY p)
+),
+pairs AS (SELECT * FROM m WHERE obj_tok IS NOT NULL),
+mention_triples AS (
+  SELECT pr.doc_id, pr."offset",
+         pr.tok AS subj_surface,
+         coalesce(arg_min(t2.tok, t2.p), '{DEFAULT_PRED}') AS pred,
+         pr.obj_tok AS obj_surface,
+         CAST(pr.p AS int) AS subj_pos,
+         CAST(pr.obj_p AS int) AS obj_pos
+  FROM pairs pr
+  LEFT JOIN tok t2
+    ON t2.doc_id = pr.doc_id AND t2."offset" = pr."offset"
+   AND t2.p > pr.p AND t2.p < pr.obj_p
+   AND t2.tok IN {_in_list(PREDICATES)}
+  GROUP BY pr.doc_id, pr."offset", pr.tok, pr.obj_tok, pr.p, pr.obj_p
+),
+media_triples AS (
+  SELECT doc_id, "offset",
+         doc_id AS subj_surface,
+         'has_' || kind AS pred,
+         media_ref AS obj_surface,
+         CAST(-1 AS int) AS subj_pos,
+         CAST(-1 AS int) AS obj_pos
+  FROM spans WHERE kind <> 'text'
+),
+triples_surface AS (
+  SELECT * FROM mention_triples UNION ALL SELECT * FROM media_triples
+)
+"""
+
+
+def triples_surface_sql() -> str:
+    return _TRIPLES_CTE + "SELECT * FROM triples_surface"
+
+
+def _alias_values() -> str:
+    rows = ", ".join(
+        f"('{s}', '{t}', {py_id64('ent:' + t)})" for s, t in alias_pairs()
+    )
+    return f"(VALUES {rows}) AS al(surface, target, target_id)"
+
+
+def linked_sql() -> str:
+    """Stage-2 oracle: one-hop alias linking."""
+    return (
+        _TRIPLES_CTE
+        + f""",
+al AS (SELECT * FROM {_alias_values()}),
+linked AS (
+  SELECT t.doc_id, t."offset",
+         CASE WHEN t.subj_pos >= 0
+              THEN coalesce(s.target_id, {sql_id64("'ent:' || t.subj_surface")})
+              ELSE {sql_id64("'doc:' || t.doc_id")} END AS subj_id,
+         CASE WHEN t.subj_pos >= 0 THEN 'concept' ELSE 'document' END AS subj_kind,
+         t.pred,
+         CASE WHEN t.subj_pos >= 0
+              THEN coalesce(o.target_id, {sql_id64("'ent:' || t.obj_surface")})
+              ELSE {sql_id64("t.obj_surface")} END AS obj_id,
+         CASE WHEN t.subj_pos >= 0 THEN 'concept' ELSE 'media' END AS obj_kind
+  FROM triples_surface t
+  LEFT JOIN al s ON t.subj_pos >= 0 AND s.surface = t.subj_surface
+  LEFT JOIN al o ON t.subj_pos >= 0 AND o.surface = t.obj_surface
+)
+SELECT * FROM linked"""
+    )
+
+
+def _canon_values() -> str:
+    rows = ", ".join(
+        f"('{s}', {cid}, '{c}')" for s, c, cid in canonical_map_rows()
+    )
+    return f"(VALUES {rows}) AS canon(surface, canonical_id, canonical_name)"
+
+
+def canonical_map_sql() -> str:
+    return f"SELECT surface, canonical_id, canonical_name FROM {_canon_values()}"
+
+
+def edges_sql() -> str:
+    """Full-pipeline oracle: canonical (subj_id, pred, obj_id, doc_id, offset)."""
+    return (
+        _TRIPLES_CTE
+        + f""",
+canon AS (SELECT * FROM {_canon_values()}),
+edges AS (
+  SELECT
+    CASE WHEN t.subj_pos >= 0 THEN cs.canonical_id
+         ELSE {sql_id64("'doc:' || t.doc_id")} END AS subj_id,
+    t.pred,
+    CASE WHEN t.subj_pos >= 0 THEN co.canonical_id
+         ELSE {sql_id64("t.obj_surface")} END AS obj_id,
+    t.doc_id, t."offset"
+  FROM triples_surface t
+  LEFT JOIN canon cs ON t.subj_pos >= 0 AND cs.surface = t.subj_surface
+  LEFT JOIN canon co ON t.subj_pos >= 0 AND co.surface = t.obj_surface
+)
+SELECT * FROM edges"""
+    )
+
+
+def nodes_sql() -> str:
+    """Nodes oracle: canonical concepts + doc/media nodes + mention counts."""
+    canon_nodes = ", ".join(
+        sorted({f"({cid}, '{c}')" for _, c, cid in canonical_map_rows()})
+    )
+    return (
+        edges_sql().replace("SELECT * FROM edges", "")
+        + f""",
+all_nodes AS (
+  SELECT entity_id, name, kind FROM (VALUES {canon_nodes}) v(entity_id, name)
+    CROSS JOIN (SELECT 'concept' AS kind)
+  UNION ALL
+  SELECT DISTINCT {sql_id64("'doc:' || doc_id")}, doc_id, 'document'
+  FROM triples_surface WHERE subj_pos < 0
+  UNION ALL
+  SELECT DISTINCT {sql_id64("obj_surface")}, obj_surface, 'media'
+  FROM triples_surface WHERE subj_pos < 0
+),
+mention_counts AS (
+  SELECT entity_id, count(*) AS n_mentions FROM (
+    SELECT subj_id AS entity_id FROM edges
+    UNION ALL SELECT obj_id FROM edges
+  ) GROUP BY entity_id
+)
+SELECT n.entity_id, n.name, n.kind,
+       coalesce(mc.n_mentions, 0) AS n_mentions
+FROM all_nodes n LEFT JOIN mention_counts mc USING (entity_id)"""
+    )
+
+
+def top_entities_sql(limit: int = 20) -> str:
+    """Flagship analytics oracle: most-mentioned canonical concepts."""
+    return (
+        edges_sql().replace("SELECT * FROM edges", "")
+        + f""",
+canon_names AS (
+  SELECT DISTINCT canonical_id, canonical_name FROM {_canon_values()}
+),
+cnt AS (
+  SELECT entity_id, count(*) AS n_mentions FROM (
+    SELECT subj_id AS entity_id FROM edges
+    UNION ALL SELECT obj_id FROM edges
+  ) GROUP BY entity_id
+)
+SELECT cn.canonical_name AS name, c.n_mentions
+FROM cnt c JOIN canon_names cn ON cn.canonical_id = c.entity_id
+ORDER BY c.n_mentions DESC, name ASC
+LIMIT {limit}"""
+    )
+
+
+def pred_hist_sql() -> str:
+    return (
+        _TRIPLES_CTE
+        + "SELECT pred, count(*) AS n FROM triples_surface GROUP BY pred"
+    )
+
+
+def doc_media_sql() -> str:
+    """Per-document media span counts by kind."""
+    return f"""
+WITH spans AS ({SQL_EXPLODED_SPANS})
+SELECT doc_id, kind, count(*) AS n_spans
+FROM spans WHERE kind <> 'text'
+GROUP BY doc_id, kind"""

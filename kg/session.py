@@ -1,0 +1,54 @@
+"""SparkSession factory.
+
+Single place that configures the session the whole engine assumes:
+AQE on (skew-join backstop), Arrow on (vectorized pandas UDFs), explicit
+shuffle parallelism scaled to cores. Reference analog: the hand-rolled
+multiprocessing pool setup in
+``data/scripts/data_processor_optimized.py:169-196`` — Spark replaces it
+with executor parallelism, so all tuning lives here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app: str = "kg",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the configured SparkSession.
+
+    ``cores=None`` -> ``local[*]``. ``shuffle_partitions`` defaults to
+    2x cores so every core has work even with one straggler, without
+    creating thousands of tiny tasks at test scale. On a real cluster the
+    same knobs come from spark-submit conf; this function only fills
+    local-mode defaults.
+    """
+    env_cores = os.environ.get("SPARK_GRAFT_CPUS")
+    if cores is None and env_cores:
+        cores = int(env_cores)
+    master = f"local[{cores}]" if cores else "local[*]"
+    n_shuffle = shuffle_partitions or max(8, 2 * (cores or (os.cpu_count() or 8)))
+
+    b = (
+        SparkSession.builder.appName(app)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.default.parallelism", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("KG_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

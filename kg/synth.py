@@ -1,0 +1,115 @@
+"""Deterministic derivation of the interleaved-documents input table.
+
+The north-rule input contract is
+``(doc_id: string, spans: array<struct<kind,text,media_ref,offset>>)``.
+No such table ships with the sandbox, so we derive one deterministically
+from the driver-provided flat ``documents.parquet``
+(``doc_id:int64, text:string, ...``): the text is chunked into 6-word
+spans, and every span where ``(doc_id + span_idx) % 4 == 0`` becomes a
+media span (image/audio/video round-robin) carrying a synthetic
+``media_ref`` instead of text.
+
+Entirely native array expressions (sequence/slice/transform) — zero
+shuffle, fully whole-stage-codegen, so the derivation itself is free at
+100 TB scale. The identical derivation is expressed in DuckDB SQL in
+``__spark_entry__.oracle_sql`` so every downstream stage is
+oracle-checkable end to end.
+
+Reference analog: the size-targeted partition cutter
+(``data/scripts/data_processor.py:305-365``) also reshapes a flat record
+stream into a partitioned layout; here the reshaping is logical (spans)
+rather than physical (files).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WORDS_PER_SPAN = 6
+MEDIA_EVERY = 4  # span is media iff (doc_id + span_idx) % MEDIA_EVERY == 0
+MEDIA_KINDS = ["image", "audio", "video"]
+
+
+def _span_struct(doc_num: Column, words: Column, i: Column) -> Column:
+    chunk = F.slice(words, i * WORDS_PER_SPAN + 1, WORDS_PER_SPAN)
+    is_media = (doc_num + i) % MEDIA_EVERY == 0
+    kind = F.when(
+        is_media,
+        F.element_at(F.array(*[F.lit(k) for k in MEDIA_KINDS]), ((doc_num + i) % 3 + 1).cast("int")),
+    ).otherwise(F.lit("text"))
+    media_ref = F.when(
+        is_media, F.concat(F.lit("media://"), kind, F.lit("/"), doc_num, F.lit("-"), i)
+    ).otherwise(F.lit(""))
+    text = F.when(is_media, F.lit("")).otherwise(F.array_join(chunk, " "))
+    return F.struct(
+        kind.alias("kind"),
+        text.alias("text"),
+        media_ref.alias("media_ref"),
+        i.cast("int").alias("offset"),
+    )
+
+
+def interleaved_documents(flat_docs: DataFrame) -> DataFrame:
+    """Flat (doc_id:int64, text) -> interleaved (doc_id:string, spans).
+
+    Staged through non-colliding intermediate names (_doc_num/_words): the
+    output column is also called ``doc_id``, and a same-name alias inside
+    one projection can be rewired into the span lambda when Catalyst
+    collapses projections.
+    """
+    staged = flat_docs.select(
+        F.col("doc_id").cast("long").alias("_doc_num"),
+        F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit("")).alias("_words"),
+    )
+    doc_num = F.col("_doc_num")
+    words = F.col("_words")
+    n_spans = F.ceil(F.size(words) / F.lit(WORDS_PER_SPAN)).cast("long")
+    spans = F.when(
+        n_spans > 0,
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), n_spans - 1),
+            lambda i: _span_struct(doc_num, words, i),
+        ),
+    ).otherwise(F.array().cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>"))
+    return staged.select(
+        F.format_string("doc-%07d", doc_num).alias("doc_id"),
+        spans.alias("spans"),
+    )
+
+
+def load_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the driver's flat documents table and derive the spans table."""
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return interleaved_documents(flat)
+
+
+# DuckDB SQL fragment producing the *exploded* spans (doc_id, kind, text,
+# media_ref, offset) from the registered `documents` view — the oracle
+# mirror of interleaved_documents() followed by posexplode. Kept here so
+# all derivation constants live in one module.
+SQL_EXPLODED_SPANS = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+  FROM documents
+), u AS (
+  SELECT doc_id, unnest(words) AS word, unnest(range(len(words))) AS wi
+  FROM w
+), s AS (
+  SELECT doc_id, wi // {WORDS_PER_SPAN} AS "offset",
+         string_agg(word, ' ' ORDER BY wi) AS chunk
+  FROM u GROUP BY doc_id, wi // {WORDS_PER_SPAN}
+)
+SELECT printf('doc-%07d', doc_id) AS doc_id,
+       CASE WHEN (doc_id + "offset") % {MEDIA_EVERY} = 0
+            THEN ['image','audio','video'][CAST((doc_id + "offset") % 3 AS int) + 1]
+            ELSE 'text' END AS kind,
+       CASE WHEN (doc_id + "offset") % {MEDIA_EVERY} = 0 THEN '' ELSE chunk END AS text,
+       CASE WHEN (doc_id + "offset") % {MEDIA_EVERY} = 0
+            THEN 'media://' ||
+                 (['image','audio','video'][CAST((doc_id + "offset") % 3 AS int) + 1]) ||
+                 '/' || doc_id || '-' || "offset"
+            ELSE '' END AS media_ref,
+       CAST("offset" AS int) AS "offset"
+FROM s
+"""
