@@ -1,38 +1,75 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query; ``queries()`` exposes every
+implemented operator (SURVEY.md §2 / the KG pipeline stages); ``oracle_sql()``
+gives the DuckDB-equivalent SQL for the driver's side-by-side correctness
+gate (row-count + schema + order-insensitive value-hash at sf=0.01).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kg import oracles  # noqa: E402
+from kg import queries as Q  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return Q.q_top_entities(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator/stage. Callable: (spark, sf_dir) -> DF."""
+    qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # --- KG pipeline stages (SURVEY.md §7.1) ---
+        "kg_spans_raw": Q.q_spans,
+        "kg_spans_normalize": Q.q_spans_norm,
+        "kg_triples_surface": Q.q_triples_surface,
+        "kg_triples_pandas_extractor": Q.q_triples_pandas,
+        "kg_linked": Q.q_linked,
+        "kg_canonical_map": Q.q_canonical_map,
+        "kg_edges": Q.q_edges,
+        "kg_nodes": Q.q_nodes,
+        "kg_top_entities": Q.q_top_entities,
+        "kg_pred_hist": Q.q_pred_hist,
+        "kg_doc_media": Q.q_doc_media,
+    }
+    try:
+        from kg.ops.registry import ops_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        qs.update(ops_queries())
+    except ImportError:
+        pass
+    return qs
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB SQL per queries() key (views: region nation customer supplier
+    part orders lineitem events documents embeddings)."""
+    out = {
+        "kg_spans_raw": oracles.spans_sql(),
+        "kg_spans_normalize": oracles.spans_sql(),
+        "kg_triples_surface": oracles.triples_surface_sql(),
+        "kg_triples_pandas_extractor": oracles.triples_surface_sql(),
+        "kg_linked": oracles.linked_sql(),
+        "kg_canonical_map": oracles.canonical_map_sql(),
+        "kg_edges": oracles.edges_sql(),
+        "kg_nodes": oracles.nodes_sql(),
+        "kg_top_entities": oracles.top_entities_sql(),
+        "kg_pred_hist": oracles.pred_hist_sql(),
+        "kg_doc_media": oracles.doc_media_sql(),
+    }
+    try:
+        from kg.ops.registry import ops_oracles
+
+        out.update(ops_oracles())
+    except ImportError:
+        pass
+    return out

@@ -1,0 +1,69 @@
+"""Registry wiring every ops query + its DuckDB oracle into the driver
+contract (__spark_entry__)."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kg.ops import dedup, media, relational, simsearch, textstats
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def ops_queries() -> dict[str, QueryFn]:
+    return {
+        # dedup family
+        "dd_exact_survivors": dedup.exact_survivors,
+        "dd_duplicate_groups": dedup.duplicate_groups,
+        "dd_minhash_signatures": dedup.minhash_signatures,
+        "dd_lsh_candidates": dedup.lsh_candidate_pairs,
+        "dd_neardup_pairs": dedup.neardup_pairs,
+        "dd_simhash": dedup.simhash,
+        "dd_embedding_neardup": dedup.embedding_neardup,
+        # similarity search
+        "ss_bruteforce_topk": simsearch.bruteforce_topk,
+        "ss_lsh_topk": simsearch.lsh_topk,
+        # text analysis
+        "ts_token_count": textstats.token_count,
+        "ts_quality_score": textstats.quality_score,
+        "ts_lang_id": textstats.lang_id,
+        "ts_fingerprint": textstats.fingerprint,
+        # multimodal plumbing
+        "md_media_features": media.media_features,
+        # relational operator coverage
+        "rel_pricing_summary": relational.pricing_summary,
+        "rel_revenue_by_nation": relational.revenue_by_nation,
+        "rel_top_customers": relational.top_customers,
+        "rel_sampled_orders": relational.sampled_orders,
+        "rel_events_rolling": relational.events_rolling,
+        "rel_event_type_hist": relational.event_type_hist,
+        "rel_filter_projection": relational.filter_projection,
+    }
+
+
+def ops_oracles() -> dict[str, str]:
+    return {
+        "dd_exact_survivors": dedup.exact_survivors_sql(),
+        "dd_duplicate_groups": dedup.duplicate_groups_sql(),
+        "dd_minhash_signatures": dedup._signatures_sql(),
+        "dd_lsh_candidates": f"WITH {dedup._candidates_sql()} SELECT * FROM cand",
+        "dd_neardup_pairs": dedup.neardup_pairs_sql(),
+        "dd_simhash": dedup.simhash_sql(),
+        "dd_embedding_neardup": dedup.embedding_neardup_sql(),
+        "ss_bruteforce_topk": simsearch.bruteforce_topk_sql(),
+        "ss_lsh_topk": simsearch.lsh_topk_sql(),
+        "ts_token_count": textstats.token_count_sql(),
+        "ts_quality_score": textstats.quality_score_sql(),
+        "ts_lang_id": textstats.lang_id_sql(),
+        "ts_fingerprint": textstats.fingerprint_sql(),
+        "md_media_features": media.media_features_sql(),
+        "rel_pricing_summary": relational.pricing_summary_sql(),
+        "rel_revenue_by_nation": relational.revenue_by_nation_sql(),
+        "rel_top_customers": relational.top_customers_sql(),
+        "rel_sampled_orders": relational.sampled_orders_sql(),
+        "rel_events_rolling": relational.events_rolling_sql(),
+        "rel_event_type_hist": relational.event_type_hist_sql(),
+        "rel_filter_projection": relational.filter_projection_sql(),
+    }

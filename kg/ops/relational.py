@@ -1,0 +1,190 @@
+"""Relational operator coverage over the TPC-H-ish tables (SURVEY §2.2,
+§2.5, §2.6, §2.7): filters/projections, group-by aggregation, broadcast
+star joins, top-k, deterministic sampling, windowed rolling aggregates.
+
+Float-safety rule for oracles: per-row double arithmetic is IEEE-identical
+across engines; only SUM accumulation order varies. So every double that
+feeds a SUM is cast to decimal(18,4) first (exact, order-independent) and
+the final sum is cast back to double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kg.ids import id64
+
+DEC = "decimal(18,4)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-flavored aggregation over lineitem."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
+            F.sum(disc_price.cast(DEC)).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast(DEC)).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def pricing_summary_sql() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS decimal(18,4))) AS double) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS decimal(18,4))) AS double) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS decimal(18,4))) AS double) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS decimal(18,4))) AS double) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: orders ⋈ customer ⋈ nation, dims broadcast."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = F.broadcast(_t(spark, sf_dir, "customer"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def revenue_by_nation_sql() -> str:
+    return """
+SELECT n_name,
+       CAST(sum(CAST(o_totalprice AS decimal(18,4))) AS double) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name"""
+
+
+def top_customers(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Top-k customers by order revenue (K1 analog), deterministic ties."""
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("o_custkey").alias("custkey"), "revenue", "rank")
+    )
+
+
+def top_customers_sql(k: int = 10) -> str:
+    return f"""
+SELECT custkey, revenue, rank FROM (
+  SELECT o_custkey AS custkey,
+         CAST(sum(CAST(o_totalprice AS decimal(18,4))) AS double) AS revenue,
+         row_number() OVER (
+           ORDER BY CAST(sum(CAST(o_totalprice AS decimal(18,4))) AS double) DESC,
+                    o_custkey ASC) AS rank
+  FROM orders GROUP BY o_custkey
+) WHERE rank <= {k}"""
+
+
+def sampled_orders(spark: SparkSession, sf_dir: str, pct: int = 5) -> DataFrame:
+    """K2 analog: deterministic hash sample (pandas seed-42 sampling is not
+    reproducible in Spark — SURVEY §7.4.3 — so sampling is md5-hash-based
+    and therefore identical in any engine)."""
+    orders = _t(spark, sf_dir, "orders")
+    h = F.pmod(id64(F.col("o_orderkey").cast("string")), F.lit(100))
+    return orders.filter(h < pct).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def sampled_orders_sql(pct: int = 5) -> str:
+    return f"""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE (('0x' || substr(md5(o_orderkey::varchar), 1, 15))::bigint) % 100 < {pct}"""
+
+
+def events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 analog: per-user rolling mean of the last 3 event values
+    (ordered by ts, event_id). Frame order is fully deterministic, so the
+    in-frame double sum is identical across engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("rolling_avg"),
+    )
+
+
+def events_rolling_sql() -> str:
+    return """
+SELECT event_id, user_id,
+       round(avg(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS rolling_avg
+FROM events"""
+
+
+def event_type_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3 analog: histogram with a having filter."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+        .filter(F.col("n") > 0)
+    )
+
+
+def event_type_hist_sql() -> str:
+    return """
+SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type HAVING count(*) > 0"""
+
+
+def filter_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F3/F5 analog: required-field + length-bounds filter and derived
+    projection over documents."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.filter(
+            F.col("text").isNotNull()
+            & (F.length("text") >= 100)
+            & (F.length("text") <= 10000)
+        )
+        .select(
+            "doc_id",
+            F.length("text").alias("text_length"),
+            F.lit(True).alias("has_full_data"),
+            F.concat(F.col("source"), F.lit(":"), F.col("lang")).alias("source_lang"),
+        )
+    )
+
+
+def filter_projection_sql() -> str:
+    return """
+SELECT doc_id,
+       CAST(length(text) AS int) AS text_length,
+       TRUE AS has_full_data,
+       source || ':' || lang AS source_lang
+FROM documents
+WHERE text IS NOT NULL AND length(text) BETWEEN 100 AND 10000"""

@@ -1,0 +1,101 @@
+"""Named queries over the KG pipeline — the driver-facing query surface.
+
+Each function takes (spark, sf_dir) and returns a DataFrame whose exact
+rows are reproduced by the matching SQL in kg.oracles (driver correctness
+gate). Aggregate/computed columns are aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kg.canonicalize import canonical_map, canonicalize_triples
+from kg.extract import extract_triples, extract_triples_pandas
+from kg.link import alias_dict, link_triples
+from kg.materialize import build_nodes, with_bucket
+from kg.normalize import explode_spans, normalize_spans
+from kg.synth import load_interleaved
+
+
+def q_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return explode_spans(load_interleaved(spark, sf_dir))
+
+
+def q_spans_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return normalize_spans(load_interleaved(spark, sf_dir))
+
+
+def q_triples_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_triples(q_spans_norm(spark, sf_dir))
+
+
+def q_triples_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics through the Arrow mapInPandas extractor slot."""
+    return extract_triples_pandas(q_spans_norm(spark, sf_dir))
+
+
+def q_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return link_triples(q_triples_surface(spark, sf_dir), alias_dict(spark))
+
+
+def q_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return canonical_map(spark).select("surface", "canonical_id", "canonical_name")
+
+
+def q_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    canon = canonical_map(spark)
+    final = canonicalize_triples(q_linked(spark, sf_dir), canon)
+    return final.select("subj_id", "pred", "obj_id", "doc_id", "offset")
+
+
+def q_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    triples_surface = q_triples_surface(spark, sf_dir)
+    canon = canonical_map(spark)
+    final = canonicalize_triples(
+        link_triples(triples_surface, alias_dict(spark)), canon
+    )
+    edges = with_bucket(
+        final.select("subj_id", "pred", "obj_id", "doc_id", "offset"), 16
+    )
+    return build_nodes(triples_surface, canon, edges)
+
+
+def q_top_entities(spark: SparkSession, sf_dir: str, limit: int = 20) -> DataFrame:
+    """Flagship: most-mentioned canonical concepts."""
+    edges = q_edges(spark, sf_dir)
+    canon_names = (
+        canonical_map(spark).select("canonical_id", "canonical_name").distinct()
+    )
+    cnt = (
+        edges.select(F.col("subj_id").alias("entity_id"))
+        .unionByName(edges.select(F.col("obj_id").alias("entity_id")))
+        .groupBy("entity_id")
+        .agg(F.count("*").alias("n_mentions"))
+    )
+    return (
+        cnt.join(
+            F.broadcast(canon_names),
+            cnt.entity_id == canon_names.canonical_id,
+        )
+        .select(F.col("canonical_name").alias("name"), "n_mentions")
+        .orderBy(F.desc("n_mentions"), F.asc("name"))
+        .limit(limit)
+    )
+
+
+def q_pred_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        q_triples_surface(spark, sf_dir)
+        .groupBy("pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_doc_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        q_spans(spark, sf_dir)
+        .filter(F.col("kind") != "text")
+        .groupBy("doc_id", "kind")
+        .agg(F.count("*").alias("n_spans"))
+    )

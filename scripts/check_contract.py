@@ -1,0 +1,86 @@
+"""Driver-sim: run every __spark_entry__ queries()[k] against oracle_sql()[k]
+via DuckDB at the given sf dir (default sf0.001; the real driver uses 0.01).
+Usage: python scripts/check_contract.py [sf_dir] [only_prefix]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from kg.session import get_spark  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+ONLY = sys.argv[2] if len(sys.argv) > 2 else ""
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+def main() -> None:
+    spark = get_spark(app="check-contract", cores=8, shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if ONLY and not name.startswith(ONLY):
+            continue
+        t0 = time.time()
+        try:
+            a = canon(fn(spark, SF_DIR).toPandas())
+        except Exception as e:
+            failures.append(name)
+            print(f"[{name}] SPARK ERROR: {str(e)[:300]}")
+            continue
+        if name not in oracles:
+            print(f"[{name}] rows={len(a)} (no oracle — rows-only) {time.time()-t0:.1f}s")
+            continue
+        try:
+            b = canon(con.sql(oracles[name]).df())
+        except Exception as e:
+            failures.append(name)
+            print(f"[{name}] DUCKDB ERROR: {str(e)[:300]}")
+            continue
+        ok = a.shape == b.shape and list(a.columns) == list(b.columns)
+        if ok:
+            try:
+                pd.testing.assert_frame_equal(a, b, check_dtype=False)
+            except AssertionError as e:
+                ok = False
+                print(f"[{name}] VALUES: {str(e)[:250]}")
+        else:
+            print(
+                f"[{name}] SHAPE spark={a.shape}{list(a.columns)} "
+                f"duck={b.shape}{list(b.columns)}"
+            )
+        if not ok:
+            failures.append(name)
+            print(" spark:\n", a.head(3).to_string())
+            print(" duck:\n", b.head(3).to_string())
+        print(f"[{name}] {'OK' if ok else 'FAIL'} rows={len(a)} {time.time()-t0:.1f}s")
+
+    print("FAILED:", failures if failures else "none")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

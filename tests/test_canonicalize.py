@@ -1,0 +1,38 @@
+"""Connected components + canonical map (vs independent union-find closure)."""
+
+from kg.canonicalize import canonical_map, connected_components
+from kg.ids import py_id64
+from kg.oracles import canonical_map_sql
+from kg.vocab import canonical_closure
+from tests.conftest import assert_df_equal
+
+
+def _cc(spark, pairs, **kw):
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+    labels = connected_components(edges, **kw)
+    return {r.node: r.label for r in labels.collect()}
+
+
+def test_chain_converges_to_min_id(spark):
+    # multi-hop chain a-b-c-d plus separate pair x-y
+    got = _cc(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")])
+    comp1 = min(py_id64(n) for n in "abcd")
+    comp2 = min(py_id64(n) for n in "xy")
+    assert {got[n] for n in "abcd"} == {comp1}
+    assert {got[n] for n in "xy"} == {comp2}
+
+
+def test_large_component_capping(spark):
+    # star of 5 nodes capped at 3 -> all revert to singleton labels
+    pairs = [("hub", f"n{i}") for i in range(4)]
+    got = _cc(spark, pairs, max_component=3)
+    nodes = ["hub"] + [f"n{i}" for i in range(4)]
+    assert all(got[n] == py_id64(n) for n in nodes)
+
+
+def test_canonical_map_matches_closure(spark, duck):
+    cm = canonical_map(spark)
+    assert_df_equal(cm, duck.sql(canonical_map_sql()))
+    closure = canonical_closure()
+    rows = {r.surface: r.canonical_name for r in cm.collect()}
+    assert rows == closure

@@ -1,0 +1,59 @@
+"""Cleaning kernel: dirty fixtures through both paths (reference test analog:
+``data/scripts/test_pipeline.py:17-43`` — LaTeX content survives, HTML
+stripped, no double spaces)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from kg.cleaning import clean_text_col, clean_text_pandas, sql_clean_text
+
+DIRTY = [
+    r"\textbf{Table} scan of $n^2$ rows",
+    "<b>fast</b> query &amp; merge <i>sort</i>",
+    "see https://example.com/x and mail a@b.com now",
+    "“curly” ‘quotes’ – dash … end",
+    "  doubled   spaces\tand\nnewlines  ",
+    r"\alpha \beta $x+y$ $$",
+    "plain already clean text",
+    "",
+]
+
+
+def _expected():
+    return [
+        "table scan of n 2 rows",
+        'fast query & merge sort',
+        "see and mail now",
+        "\"curly\" 'quotes' - dash . end",
+        "doubled spaces and newlines",
+        "x+y",
+        "plain already clean text",
+        "",
+    ]
+
+
+def test_native_chain(spark):
+    df = spark.createDataFrame([(s,) for s in DIRTY], "t string")
+    got = [r.c for r in df.select(clean_text_col(F.col("t")).alias("c")).collect()]
+    assert got == _expected()
+
+
+def test_pandas_chain_matches_native(spark):
+    got_pd = clean_text_pandas(pd.Series(DIRTY)).tolist()
+    assert got_pd == _expected()
+
+
+def test_sql_chain_matches(duck):
+    vals = ", ".join("(" + "'" + s.replace("'", "''") + "'" + ")" for s in DIRTY)
+    q = f"SELECT {sql_clean_text('t')} AS c FROM (VALUES {vals}) v(t)"
+    got = [r[0] for r in duck.sql(q).fetchall()]
+    assert got == _expected()
+
+
+def test_idempotent_on_clean_corpus(spark):
+    """On the synthetic corpus, cleaning must be identity (oracle contract)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    changed = docs.select(
+        (clean_text_col(F.col("text")) != F.trim(F.col("text"))).alias("diff")
+    ).filter("diff")
+    assert changed.count() == 0

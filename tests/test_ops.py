@@ -1,0 +1,53 @@
+"""Ops library: registry completeness + oracle parity for representative ops
+(the full 32-query sweep runs in scripts/check_contract.py / driver)."""
+
+import pytest
+
+from kg.ops import dedup, media, simsearch, textstats
+from kg.ops.registry import ops_oracles, ops_queries
+from tests.conftest import SF_DIR, assert_df_equal
+
+
+def test_registry_complete():
+    qs, os_ = ops_queries(), ops_oracles()
+    assert set(qs) == set(os_)
+    assert len(qs) >= 20
+
+
+@pytest.mark.parametrize(
+    "fn,sql",
+    [
+        (dedup.exact_survivors, dedup.exact_survivors_sql()),
+        (dedup.neardup_pairs, dedup.neardup_pairs_sql()),
+        (dedup.simhash, dedup.simhash_sql()),
+        (dedup.embedding_neardup, dedup.embedding_neardup_sql()),
+        (simsearch.bruteforce_topk, simsearch.bruteforce_topk_sql()),
+        (simsearch.lsh_topk, simsearch.lsh_topk_sql()),
+        (textstats.quality_score, textstats.quality_score_sql()),
+        (textstats.fingerprint, textstats.fingerprint_sql()),
+        (media.media_features, media.media_features_sql()),
+    ],
+    ids=lambda x: getattr(x, "__name__", "sql"),
+)
+def test_op_matches_oracle(spark, duck, fn, sql):
+    assert_df_equal(fn(spark, SF_DIR), duck.sql(sql))
+
+
+def test_neardup_finds_planted_duplicates(spark):
+    """TESTDATA plants ~2% near-duplicate docs; LSH+verify must find pairs."""
+    pairs = dedup.neardup_pairs(spark, SF_DIR)
+    assert pairs.count() > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"name", "n_mentions"}
+    # every queries() key resolves to a callable; oracle keys are a subset
+    qs = e.queries()
+    os_ = e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 30
