@@ -85,11 +85,21 @@ def _pair_to_triple(toks: Column, pp: Column) -> Column:
 
 
 def extract_triples(spans_norm: DataFrame) -> DataFrame:
-    """Native-HOF extraction over stage-0 output. Returns TRIPLES_SURFACE."""
+    """Native-HOF extraction over stage-0 output. Returns TRIPLES_SURFACE.
+
+    Tokens are materialized as a column (one split per row) BEFORE the
+    higher-order functions: passing the raw split expression into the
+    lambdas would inline it at every element_at reference — O(tokens²)
+    recomputation of the split (and of the upstream cleaning chain) per
+    span.
+    """
     text = spans_norm.filter(F.col("kind") == "text")
-    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
+    toks_expr = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
+    with_toks = text.select("doc_id", "offset", toks_expr.alias("_toks"))
     mention = (
-        text.select("doc_id", "offset", _mention_pairs(toks).alias("pairs"))
+        with_toks.select(
+            "doc_id", "offset", _mention_pairs(F.col("_toks")).alias("pairs")
+        )
         .select("doc_id", "offset", F.explode("pairs").alias("t"))
         .select(
             "doc_id",

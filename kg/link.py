@@ -36,13 +36,17 @@ def alias_dict(spark: SparkSession) -> DataFrame:
 
 
 def link_triples(triples_surface: DataFrame, aliases: DataFrame) -> DataFrame:
-    """TRIPLES_SURFACE -> TRIPLES_LINKED via broadcast dictionary joins."""
-    mention = triples_surface.filter(F.col("subj_pos") >= 0)
-    media = triples_surface.filter(F.col("subj_pos") < 0)
+    """TRIPLES_SURFACE -> TRIPLES_LINKED via broadcast dictionary joins.
 
+    Single scan, branch-free: a mention/media filter-and-union would
+    execute the (possibly expensive) upstream extraction twice. Media
+    rows (subj_pos < 0) simply never match the dictionary and take the
+    CASE branch instead.
+    """
     b = F.broadcast(aliases)
-    linked = (
-        mention.join(
+    is_mention = F.col("subj_pos") >= 0
+    return (
+        triples_surface.join(
             b.select(
                 F.col("surface").alias("subj_surface"),
                 F.col("target_id").alias("_subj_id"),
@@ -61,27 +65,31 @@ def link_triples(triples_surface: DataFrame, aliases: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             "offset",
-            F.coalesce(
-                "_subj_id", id64(F.concat(F.lit("ent:"), F.col("subj_surface")))
-            ).alias("subj_id"),
-            F.lit(ENTITY_KIND).alias("subj_kind"),
+            F.when(
+                is_mention,
+                F.coalesce(
+                    "_subj_id", id64(F.concat(F.lit("ent:"), F.col("subj_surface")))
+                ),
+            )
+            .otherwise(id64(F.concat(F.lit("doc:"), F.col("doc_id"))))
+            .alias("subj_id"),
+            F.when(is_mention, F.lit(ENTITY_KIND))
+            .otherwise(F.lit("document"))
+            .alias("subj_kind"),
             "pred",
-            F.coalesce(
-                "_obj_id", id64(F.concat(F.lit("ent:"), F.col("obj_surface")))
-            ).alias("obj_id"),
-            F.lit(ENTITY_KIND).alias("obj_kind"),
+            F.when(
+                is_mention,
+                F.coalesce(
+                    "_obj_id", id64(F.concat(F.lit("ent:"), F.col("obj_surface")))
+                ),
+            )
+            .otherwise(id64(F.col("obj_surface")))
+            .alias("obj_id"),
+            F.when(is_mention, F.lit(ENTITY_KIND))
+            .otherwise(F.lit("media"))
+            .alias("obj_kind"),
         )
     )
-    media_linked = media.select(
-        "doc_id",
-        "offset",
-        id64(F.concat(F.lit("doc:"), F.col("doc_id"))).alias("subj_id"),
-        F.lit("document").alias("subj_kind"),
-        "pred",
-        id64(F.col("obj_surface")).alias("obj_id"),
-        F.lit("media").alias("obj_kind"),
-    )
-    return linked.unionByName(media_linked)
 
 
 def salted_join(

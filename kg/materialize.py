@@ -51,7 +51,7 @@ def materialize_edges(
     *,
     run_id: str,
     lineage: str,
-    n_buckets: int = 16,
+    n_buckets: int = 64,
     n_groups: int = 4,
     fail_after_groups: int | None = None,
 ) -> int:
@@ -68,8 +68,16 @@ def materialize_edges(
         started = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
         group_dir = os.path.join(edges_path(out_dir), f"part_group={g}")
         subset = bucketed.filter(F.pmod(F.col("bucket"), F.lit(n_groups)) == g)
-        # deterministic file layout: repartition by bucket then sort inside
-        subset.repartition(F.col("bucket")).sortWithinPartitions(
+        # deterministic file layout: repartition by bucket then sort inside.
+        # Explicit partition count — without it AQE coalesces the shuffle to
+        # ~64MB partitions and the (expensive) sort+encode+write stage runs
+        # nearly serial regardless of cluster size.
+        n_write = max(
+            spark.sparkContext.defaultParallelism, n_buckets // n_groups
+        )
+        subset.repartitionByRange(
+            n_write, F.col("bucket"), F.col("subj_id")
+        ).sortWithinPartitions(
             "bucket", "subj_id", "pred", "obj_id", "doc_id", "offset"
         ).write.mode("overwrite").parquet(group_dir)
         rows = spark.read.parquet(group_dir).count()  # parquet-footer count
@@ -112,9 +120,61 @@ def build_nodes(
         F.lit("media").alias("kind"),
     ).distinct()
     all_nodes = concepts.unionByName(docs).unionByName(media)
+    # single-pass endpoint explode (a union of two selects over the same
+    # plan would recompute the whole upstream DAG twice when uncached)
     mentions = (
-        edges_final.select(F.col("subj_id").alias("entity_id"))
-        .unionByName(edges_final.select(F.col("obj_id").alias("entity_id")))
+        edges_final.select(
+            F.explode(F.array("subj_id", "obj_id")).alias("entity_id")
+        )
+        .groupBy("entity_id")
+        .agg(F.count("*").alias("n_mentions"))
+    )
+    return all_nodes.join(mentions, "entity_id", "left").select(
+        "entity_id",
+        "name",
+        "kind",
+        F.coalesce("n_mentions", F.lit(0)).cast("long").alias("n_mentions"),
+    )
+
+
+def build_nodes_from_edges(canon: DataFrame, edges_final: DataFrame) -> DataFrame:
+    """NODES rebuilt purely from the materialized edges table (plus the
+    tiny canonical map) — no re-run of the extraction kernel.
+
+    Works because media edges carry everything needed to reconstruct the
+    node names: ``pred = 'has_<kind>'``, ``doc_id = 'doc-%07d' % n`` and
+    ``media_ref = 'media://<kind>/<n>-<offset>'`` (kg.synth derivation
+    contract). Equality with :func:`build_nodes` is asserted in tests.
+    """
+    concepts = canon.select(
+        F.col("canonical_id").alias("entity_id"),
+        F.col("canonical_name").alias("name"),
+        F.lit("concept").alias("kind"),
+    ).distinct()
+    media_edges = edges_final.filter(F.col("pred").startswith("has_"))
+    doc_num = F.substring(F.col("doc_id"), 5, 20).cast("long")
+    docs = media_edges.select(
+        F.col("subj_id").alias("entity_id"),
+        F.col("doc_id").alias("name"),
+        F.lit("document").alias("kind"),
+    ).distinct()
+    media = media_edges.select(
+        F.col("obj_id").alias("entity_id"),
+        F.concat(
+            F.lit("media://"),
+            F.substring(F.col("pred"), 5, 100),
+            F.lit("/"),
+            doc_num,
+            F.lit("-"),
+            F.col("offset"),
+        ).alias("name"),
+        F.lit("media").alias("kind"),
+    ).distinct()
+    all_nodes = concepts.unionByName(docs).unionByName(media)
+    mentions = (
+        edges_final.select(
+            F.explode(F.array("subj_id", "obj_id")).alias("entity_id")
+        )
         .groupBy("entity_id")
         .agg(F.count("*").alias("n_mentions"))
     )
@@ -139,9 +199,12 @@ def materialize_nodes(
         return 0
     started = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
     path = nodes_path(out_dir)
-    nodes.repartition(1).sortWithinPartitions("entity_id").write.mode(
-        "overwrite"
-    ).parquet(path)
+    # shard by entity hash — a single-file write would serialize the node
+    # build onto one task (and one writer) regardless of cluster size
+    n_shards = max(1, spark.sparkContext.defaultParallelism)
+    nodes.repartition(n_shards, "entity_id").sortWithinPartitions(
+        "entity_id"
+    ).write.mode("overwrite").parquet(path)
     rows = spark.read.parquet(path).count()
     mf.commit_partition(
         spark,

@@ -22,9 +22,11 @@ from pyspark.sql import functions as F
 
 from kg.canonicalize import canonical_map, canonicalize_triples
 from kg.extract import extract_triples, extract_triples_pandas
+from kg.fused import fused_extract_triples
 from kg.link import alias_dict, link_triples
 from kg.materialize import (
     build_nodes,
+    build_nodes_from_edges,
     materialize_edges,
     materialize_nodes,
     with_bucket,
@@ -60,22 +62,52 @@ def run_pipeline(
     extractor: str = "sql",
     pandas_normalize: bool = False,
     run_id: str | None = None,
-    n_buckets: int = 16,
+    n_buckets: int = 64,
     n_groups: int = 4,
     fail_after_groups: int | None = None,
+    replicate: int = 1,
 ) -> dict:
     """End-to-end run (resumable: rerun with same out_dir/sf_dir skips
     committed partition groups). Returns a stats dict."""
     run_id = run_id or uuid.uuid4().hex[:12]
-    lineage = f"sf_dir={sf_dir};extractor={extractor};buckets={n_buckets}"
+    lineage = (
+        f"sf_dir={sf_dir};extractor={extractor};buckets={n_buckets};rep={replicate}"
+    )
     t0 = time.time()
 
-    docs = load_interleaved(spark, sf_dir)
-    triples_surface, canon, final = build_edges(
-        docs, spark, extractor=extractor, pandas_normalize=pandas_normalize
-    )
-    final = final.persist()
+    if extractor == "fused":
+        # Arrow fast path: derive+normalize+extract in one mapInPandas
+        # kernel (see kg.fused for why the stagewise JVM path can't scale)
+        triples_surface = fused_extract_triples(spark, sf_dir, replicate=replicate)
+        canon = canonical_map(spark)
+        final = canonicalize_triples(
+            link_triples(triples_surface, alias_dict(spark)), canon
+        )
+        # NO .persist(): caching tens of millions of rows turns the JVM
+        # into a GC bottleneck that erases multi-core scaling (measured:
+        # extract 8s uncached vs 50s cached at local[32]). The written
+        # edges table itself is the reuse point — node mention counts read
+        # it back from parquet; the cheap Arrow extraction recomputes for
+        # the media/doc node names.
+        persisted = []
+    else:
+        docs = load_interleaved(spark, sf_dir, replicate=replicate)
+        triples_surface, canon, final = build_edges(
+            docs, spark, extractor=extractor, pandas_normalize=pandas_normalize
+        )
+        # the stagewise JVM path is expensive to recompute; cache it (small
+        # SFs only — the fused path is the at-scale configuration)
+        triples_surface = triples_surface.persist()
+        final = final.persist()
+        persisted = [triples_surface, final]
+    timing = os.environ.get("KG_TIMING") == "1"
+
+    def _mark(label: str) -> None:
+        if timing:
+            print(f"[timing] {label} +{time.time() - t0:.1f}s", file=sys.stderr)
+
     try:
+        _mark("plan built")
         n_edges_written = materialize_edges(
             spark,
             final.select("subj_id", "pred", "obj_id", "doc_id", "offset"),
@@ -86,16 +118,22 @@ def run_pipeline(
             n_groups=n_groups,
             fail_after_groups=fail_after_groups,
         )
-        edges_final = with_bucket(
-            final.select("subj_id", "pred", "obj_id", "doc_id", "offset"), n_buckets
-        )
-        nodes = build_nodes(triples_surface, canon, edges_final)
+        _mark("edges written")
+        # rebuild nodes from the materialized edges table — reusing disk
+        # instead of recomputing the extraction DAG or caching it in-heap
+        edges_final = spark.read.parquet(f"{out_dir}/edges")
+        if extractor == "fused":
+            nodes = build_nodes_from_edges(canon, edges_final)
+        else:
+            nodes = build_nodes(triples_surface, canon, edges_final)
         n_nodes = materialize_nodes(
             spark, nodes, out_dir, run_id=run_id, lineage=lineage
         )
-        n_edges_total = spark.read.parquet(f"{out_dir}/edges").count()
+        _mark("nodes written")
+        n_edges_total = edges_final.count()
     finally:
-        final.unpersist()
+        for df in persisted:
+            df.unpersist()
 
     wall = time.time() - t0
     return {
@@ -113,15 +151,23 @@ def main() -> None:
     p = argparse.ArgumentParser(description="kg construction pipeline")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p.add_argument("--out", required=True)
-    p.add_argument("--extractor", choices=["sql", "pandas"], default="sql")
+    p.add_argument("--extractor", choices=["sql", "pandas", "fused"], default="sql")
     p.add_argument("--pandas-normalize", action="store_true")
     p.add_argument("--cores", type=int, default=None)
-    p.add_argument("--n-buckets", type=int, default=16)
+    p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--n-groups", type=int, default=4)
     p.add_argument("--run-id", default=None)
+    p.add_argument("--replicate", type=int, default=1)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--master", default=None, help="e.g. spark://127.0.0.1:7077")
     args = p.parse_args()
 
-    spark = get_spark(app="kg-pipeline", cores=args.cores)
+    spark = get_spark(
+        app="kg-pipeline",
+        cores=args.cores,
+        shuffle_partitions=args.shuffle_partitions,
+        master=args.master,
+    )
     try:
         stats = run_pipeline(
             spark,
@@ -132,6 +178,7 @@ def main() -> None:
             run_id=args.run_id,
             n_buckets=args.n_buckets,
             n_groups=args.n_groups,
+            replicate=args.replicate,
         )
         print(json.dumps(stats))
     finally:

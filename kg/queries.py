@@ -67,9 +67,12 @@ def q_top_entities(spark: SparkSession, sf_dir: str, limit: int = 20) -> DataFra
     canon_names = (
         canonical_map(spark).select("canonical_id", "canonical_name").distinct()
     )
+    # explode both endpoints in ONE pass — a subj/obj unionByName would
+    # duplicate the entire upstream extraction DAG
     cnt = (
-        edges.select(F.col("subj_id").alias("entity_id"))
-        .unionByName(edges.select(F.col("obj_id").alias("entity_id")))
+        edges.select(
+            F.explode(F.array("subj_id", "obj_id")).alias("entity_id")
+        )
         .groupBy("entity_id")
         .agg(F.count("*").alias("n_mentions"))
     )

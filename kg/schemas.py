@@ -11,7 +11,6 @@ from pyspark.sql.types import (
     ArrayType,
     IntegerType,
     LongType,
-    MapType,
     StringType,
     StructField,
     StructType,
@@ -111,7 +110,9 @@ MANIFEST = StructType(
         StructField("status", StringType(), False),
         StructField("rows_in", LongType(), True),
         StructField("rows_out", LongType(), True),
-        StructField("skip_reasons", MapType(StringType(), LongType()), True),
+        # JSON-encoded {reason: count} — kept as a string so the manifest
+        # can be written driver-side via pyarrow without a Spark job
+        StructField("skip_reasons", StringType(), True),
         StructField("started_at", TimestampType(), True),
         StructField("committed_at", TimestampType(), True),
         StructField("lineage", StringType(), True),

@@ -20,6 +20,7 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) the configured SparkSession.
 
@@ -32,7 +33,12 @@ def get_spark(
     env_cores = os.environ.get("SPARK_GRAFT_CPUS")
     if cores is None and env_cores:
         cores = int(env_cores)
-    master = f"local[{cores}]" if cores else "local[*]"
+    master = (
+        master
+        or os.environ.get("KG_MASTER")
+        or (f"local[{cores}]" if cores else "local[*]")
+    )
+    is_cluster = not master.startswith("local")
     n_shuffle = shuffle_partitions or max(8, 2 * (cores or (os.cpu_count() or 8)))
 
     b = (
@@ -42,14 +48,34 @@ def get_spark(
         .config("spark.default.parallelism", str(n_shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # default 64m coalesces a ~1GB shuffle to ~16 tasks — too coarse to
+        # keep 32 cores busy on CPU-heavy post-shuffle stages (sort/encode)
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("KG_DRIVER_MEM", "8g"))
+        # heap scales with cores (a real cluster brings ~1-2 GB/core with
+        # every executor): an undersized shared heap turns concurrent task
+        # allocation into a GC bottleneck that erases multi-core scaling
+        .config(
+            "spark.driver.memory",
+            os.environ.get(
+                "KG_DRIVER_MEM",
+                "4g" if is_cluster else f"{max(6, int(1.5 * (cores or 8)))}g",
+            ),
+        )
     )
+    if is_cluster:
+        # standalone mode: fixed-shape executors (one JVM per 8-core slice);
+        # `cores` becomes the total-core cap = executor count x 8
+        b = (
+            b.config("spark.executor.cores", os.environ.get("KG_EXECUTOR_CORES", "8"))
+            .config("spark.executor.memory", os.environ.get("KG_EXECUTOR_MEM", "12g"))
+            .config("spark.cores.max", str(cores or 8))
+        )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

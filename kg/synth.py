@@ -78,9 +78,33 @@ def interleaved_documents(flat_docs: DataFrame) -> DataFrame:
     )
 
 
-def load_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read the driver's flat documents table and derive the spans table."""
+REPLICA_STRIDE = 100_000  # doc-%07d supports up to 100 replicas of ids < 1e5
+
+
+def load_interleaved(
+    spark: SparkSession, sf_dir: str, replicate: int = 1
+) -> DataFrame:
+    """Read the driver's flat documents table and derive the spans table.
+
+    ``replicate > 1`` tiles the corpus deterministically (replica r shifts
+    doc ids by ``r * REPLICA_STRIDE``) — used by the scaling bench to make
+    the job compute-bound at local[N] so parallel efficiency is measurable;
+    semantics per document are unchanged.
+    """
     flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if replicate > 1:
+        reps = spark.range(replicate).select(F.col("id").alias("_rep"))
+        flat = flat.crossJoin(reps).select(
+            (F.col("doc_id") + F.col("_rep") * REPLICA_STRIDE).alias("doc_id"),
+            "text",
+        )
+    # Local-mode adaptation: the sandbox corpus is ONE small parquet file =
+    # one input split, which would serialize the whole (CPU-heavy) extract
+    # chain onto a single core. On a real lake the scan has thousands of
+    # splits and this repartition never fires.
+    target = spark.sparkContext.defaultParallelism
+    if flat.rdd.getNumPartitions() < target:
+        flat = flat.repartition(target)
     return interleaved_documents(flat)
 
 

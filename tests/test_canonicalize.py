@@ -7,25 +7,39 @@ from kg.vocab import canonical_closure
 from tests.conftest import assert_df_equal
 
 
+import pytest
+
+
 def _cc(spark, pairs, **kw):
     edges = spark.createDataFrame(pairs, "src string, dst string")
     labels = connected_components(edges, **kw)
     return {r.node: r.label for r in labels.collect()}
 
 
-def test_chain_converges_to_min_id(spark):
+# fastpath=None forces the distributed iterative loop; the default exercises
+# the driver union-find. Both must produce identical labels.
+@pytest.mark.parametrize("fastpath", [None, 100_000], ids=["distributed", "driver"])
+def test_chain_converges_to_min_id(spark, fastpath):
     # multi-hop chain a-b-c-d plus separate pair x-y
-    got = _cc(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")])
+    got = _cc(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        driver_fastpath_edges=fastpath,
+        n_partitions=1,
+    )
     comp1 = min(py_id64(n) for n in "abcd")
     comp2 = min(py_id64(n) for n in "xy")
     assert {got[n] for n in "abcd"} == {comp1}
     assert {got[n] for n in "xy"} == {comp2}
 
 
-def test_large_component_capping(spark):
+@pytest.mark.parametrize("fastpath", [None, 100_000], ids=["distributed", "driver"])
+def test_large_component_capping(spark, fastpath):
     # star of 5 nodes capped at 3 -> all revert to singleton labels
     pairs = [("hub", f"n{i}") for i in range(4)]
-    got = _cc(spark, pairs, max_component=3)
+    got = _cc(
+        spark, pairs, max_component=3, driver_fastpath_edges=fastpath, n_partitions=1
+    )
     nodes = ["hub"] + [f"n{i}" for i in range(4)]
     assert all(got[n] == py_id64(n) for n in nodes)
 
