@@ -86,46 +86,51 @@ def fused_extract_triples(
     if flat.rdd.getNumPartitions() < target:
         flat = flat.repartition(target)
 
-    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: dict[str, list] = {k: [] for k in TRIPLES_SURFACE.fieldNames()}
-            # pass 1: derive spans from RAW words (kg.synth contract);
-            # collect text-span chunks for one vectorized cleaning pass
-            text_spans: list[tuple[str, int, str]] = []  # (doc_id, offset, chunk)
-            for doc_num, text in zip(pdf["doc_id"], pdf["text"]):
-                doc_num = int(doc_num)
-                doc_id_str = f"doc-{doc_num:07d}"
-                words = [w for w in text.split(" ") if w]
-                n_spans = (len(words) + WORDS_PER_SPAN - 1) // WORDS_PER_SPAN
-                for i in range(n_spans):
-                    if (doc_num + i) % MEDIA_EVERY == 0:
-                        kind = MEDIA_KINDS[(doc_num + i) % 3]
-                        out["doc_id"].append(doc_id_str)
-                        out["offset"].append(i)
-                        out["subj_surface"].append(doc_id_str)
-                        out["pred"].append("has_" + kind)
-                        out["obj_surface"].append(f"media://{kind}/{doc_num}-{i}")
-                        out["subj_pos"].append(-1)
-                        out["obj_pos"].append(-1)
-                    else:
-                        chunk = " ".join(
-                            words[i * WORDS_PER_SPAN : (i + 1) * WORDS_PER_SPAN]
-                        )
-                        text_spans.append((doc_id_str, i, chunk))
-            # pass 2: vectorized normalize (stage-0 kernel), then extract
-            if text_spans:
-                cleaned = clean_text_pandas(
-                    pd.Series([c for _, _, c in text_spans])
-                )
-                for (doc_id_str, i, _), ctext in zip(text_spans, cleaned):
-                    if _EXTRACTOR_COST:
-                        _simulated_model_cost(ctext)
-                    toks = [w for w in ctext.split(" ") if w]
-                    _extract_span(out, doc_id_str, i, toks)
-            res = pd.DataFrame(out)
-            res["offset"] = res["offset"].astype("int32")
-            res["subj_pos"] = res["subj_pos"].astype("int32")
-            res["obj_pos"] = res["obj_pos"].astype("int32")
-            yield res
+    return flat.mapInPandas(_run_batches, schema=TRIPLES_SURFACE)
 
-    return flat.mapInPandas(_run, schema=TRIPLES_SURFACE)
+
+def _run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """The fused kernel: (doc_id:int64, text) batches -> TRIPLES_SURFACE
+    batches. Module-level so batch (fused_extract_triples) and streaming
+    (kg.streaming.stream_extract_triples) share it verbatim."""
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in TRIPLES_SURFACE.fieldNames()}
+        # pass 1: derive spans from RAW words (kg.synth contract);
+        # collect text-span chunks for one vectorized cleaning pass
+        text_spans: list[tuple[str, int, str]] = []  # (doc_id, offset, chunk)
+        for doc_num, text in zip(pdf["doc_id"], pdf["text"]):
+            doc_num = int(doc_num)
+            doc_id_str = f"doc-{doc_num:07d}"
+            words = [w for w in text.split(" ") if w]
+            n_spans = (len(words) + WORDS_PER_SPAN - 1) // WORDS_PER_SPAN
+            for i in range(n_spans):
+                if (doc_num + i) % MEDIA_EVERY == 0:
+                    kind = MEDIA_KINDS[(doc_num + i) % 3]
+                    out["doc_id"].append(doc_id_str)
+                    out["offset"].append(i)
+                    out["subj_surface"].append(doc_id_str)
+                    out["pred"].append("has_" + kind)
+                    out["obj_surface"].append(f"media://{kind}/{doc_num}-{i}")
+                    out["subj_pos"].append(-1)
+                    out["obj_pos"].append(-1)
+                else:
+                    chunk = " ".join(
+                        words[i * WORDS_PER_SPAN : (i + 1) * WORDS_PER_SPAN]
+                    )
+                    text_spans.append((doc_id_str, i, chunk))
+        # pass 2: vectorized normalize (stage-0 kernel), then extract
+        if text_spans:
+            cleaned = clean_text_pandas(
+                pd.Series([c for _, _, c in text_spans])
+            )
+            for (doc_id_str, i, _), ctext in zip(text_spans, cleaned):
+                if _EXTRACTOR_COST:
+                    _simulated_model_cost(ctext)
+                toks = [w for w in ctext.split(" ") if w]
+                _extract_span(out, doc_id_str, i, toks)
+        res = pd.DataFrame(out)
+        res["offset"] = res["offset"].astype("int32")
+        res["subj_pos"] = res["subj_pos"].astype("int32")
+        res["obj_pos"] = res["obj_pos"].astype("int32")
+        yield res
+

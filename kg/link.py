@@ -92,6 +92,64 @@ def link_triples(triples_surface: DataFrame, aliases: DataFrame) -> DataFrame:
     )
 
 
+def link_triples_salted(
+    triples_surface: DataFrame, aliases: DataFrame, n_salts: int = 16
+) -> DataFrame:
+    """Stage-2 variant for when the entity catalog is too large to
+    broadcast: salted hash joins on both mention sides. Head-entity skew
+    ("the most-mentioned entity hashes all its rows into one task") is
+    defused because every big-side row is salted across ``n_salts``
+    reducers (see :func:`salted_join`). Result-identical to
+    :func:`link_triples` — asserted in tests.
+    """
+    is_mention = F.col("subj_pos") >= 0
+    s = salted_join(
+        triples_surface,
+        aliases.select(
+            F.col("surface").alias("subj_surface"),
+            F.col("target_id").alias("_subj_id"),
+        ),
+        "subj_surface",
+        n_salts=n_salts,
+    )
+    so = salted_join(
+        s,
+        aliases.select(
+            F.col("surface").alias("obj_surface"),
+            F.col("target_id").alias("_obj_id"),
+        ),
+        "obj_surface",
+        n_salts=n_salts,
+    )
+    return so.select(
+        "doc_id",
+        "offset",
+        F.when(
+            is_mention,
+            F.coalesce(
+                "_subj_id", id64(F.concat(F.lit("ent:"), F.col("subj_surface")))
+            ),
+        )
+        .otherwise(id64(F.concat(F.lit("doc:"), F.col("doc_id"))))
+        .alias("subj_id"),
+        F.when(is_mention, F.lit(ENTITY_KIND))
+        .otherwise(F.lit("document"))
+        .alias("subj_kind"),
+        "pred",
+        F.when(
+            is_mention,
+            F.coalesce(
+                "_obj_id", id64(F.concat(F.lit("ent:"), F.col("obj_surface")))
+            ),
+        )
+        .otherwise(id64(F.col("obj_surface")))
+        .alias("obj_id"),
+        F.when(is_mention, F.lit(ENTITY_KIND))
+        .otherwise(F.lit("media"))
+        .alias("obj_kind"),
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

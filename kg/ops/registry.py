@@ -7,7 +7,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kg.ops import dedup, media, relational, simsearch, textstats
+from kg.ops import dedup, media, relational, simsearch, textfns, textstats
+from kg.streaming import windowed_event_counts_batch, windowed_event_counts_sql
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -32,6 +33,12 @@ def ops_queries() -> dict[str, QueryFn]:
         "ts_fingerprint": textstats.fingerprint,
         # multimodal plumbing
         "md_media_features": media.media_features,
+        # reference string-function parity (SURVEY §2.3 T7/T9/T10)
+        "fn_search_text": textfns.search_text,
+        "fn_structured_id": textfns.structured_id,
+        "fn_normalized_categories": textfns.normalized_categories,
+        # streaming twin (batch plan of the windowed event-time aggregation)
+        "ev_windowed_counts": windowed_event_counts_batch,
         # relational operator coverage
         "rel_pricing_summary": relational.pricing_summary,
         "rel_revenue_by_nation": relational.revenue_by_nation,
@@ -59,6 +66,10 @@ def ops_oracles() -> dict[str, str]:
         "ts_lang_id": textstats.lang_id_sql(),
         "ts_fingerprint": textstats.fingerprint_sql(),
         "md_media_features": media.media_features_sql(),
+        "fn_search_text": textfns.search_text_sql(),
+        "fn_structured_id": textfns.structured_id_sql(),
+        "fn_normalized_categories": textfns.normalized_categories_sql(),
+        "ev_windowed_counts": windowed_event_counts_sql(),
         "rel_pricing_summary": relational.pricing_summary_sql(),
         "rel_revenue_by_nation": relational.revenue_by_nation_sql(),
         "rel_top_customers": relational.top_customers_sql(),

@@ -1,0 +1,120 @@
+"""Structured Streaming surface: incremental document ingest + windowed
+event aggregation.
+
+The reference has no stream processing (SURVEY §2.9) — its closest analogs
+are the point/batch insert API (``api/main.py:247-325``) and the rolling
+latency window (``api/main.py:66-77``). Spark-first upgrades:
+
+* :func:`stream_extract_triples` — file-source ``readStream`` over flat
+  document parquet dropped into a directory; the SAME fused Arrow
+  extraction kernel runs per micro-batch (mapInPandas is
+  streaming-compatible), appending surface triples to a parquet sink with
+  a checkpoint — kill/restart resumes from the last committed batch, the
+  streaming twin of the batch manifest.
+* :func:`windowed_event_counts` — event-time tumbling window with a
+  watermark for late data over the events stream (reference's rolling
+  mean, done properly with event time instead of arrival order).
+
+Batch semantics equality is tested by feeding the corpus through the
+stream (Trigger.AvailableNow) and comparing with the batch extractor.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+FLAT_DOCS = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("text", StringType(), True),
+    ]
+)
+
+
+def stream_extract_triples(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Start an availableNow stream: parquet docs dir -> triples parquet.
+
+    Returns the StreamingQuery (caller awaits termination). Restarting
+    with the same checkpoint resumes exactly after the last committed
+    micro-batch.
+    """
+    from kg.fused import _run_batches  # late import to keep module light
+
+    src = spark.readStream.schema(FLAT_DOCS).parquet(in_dir)
+    from kg.schemas import TRIPLES_SURFACE
+
+    triples = src.mapInPandas(_run_batches, schema=TRIPLES_SURFACE)
+    return (
+        triples.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+
+
+def windowed_event_counts(events_stream: DataFrame) -> DataFrame:
+    """10-minute tumbling event-time windows with a 20-minute watermark:
+    (window, event_type, n, total_value). Late events beyond the watermark
+    are dropped — the at-scale answer to unbounded state."""
+    return (
+        events_stream.withWatermark("ts", "20 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def windowed_event_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming aggregation (same plan minus watermark)
+    — this is what the driver's DuckDB oracle checks."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def windowed_event_counts_sql() -> str:
+    return """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+       time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS win_end,
+       event_type,
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS decimal(18,4))) AS double), 4) AS total_value
+FROM events
+GROUP BY 1, 2, 3"""
