@@ -44,6 +44,65 @@ def nodes_path(out_dir: str) -> str:
     return os.path.join(out_dir, "nodes")
 
 
+def materialize_partitioned(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    table_name: str,
+    *,
+    run_id: str,
+    lineage: str,
+    group_col,
+    n_groups: int,
+    sort_cols: list[str],
+    range_cols: list[str] | None = None,
+    stage: str | None = None,
+    fail_after_groups: int | None = None,
+) -> int:
+    """Generic resumable partition-group writer (the north rule's
+    per-partition checkpoint applied to ANY stage output, not just the
+    final tables): group ``g`` = rows with ``group_col % n_groups == g``,
+    written to ``<out>/<table>/part_group=g`` then committed to the
+    manifest; committed groups are skipped on rerun. Returns rows written
+    by THIS call."""
+    stage = stage or f"materialize_{table_name}"
+    done = mf.committed_partitions(spark, out_dir, stage, lineage)
+    total = 0
+    for g in range(n_groups):
+        if g in done:
+            continue
+        if fail_after_groups is not None and len(done) >= fail_after_groups:
+            raise InjectedFailure(f"injected failure before group {g}")
+        started = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        group_dir = os.path.join(out_dir, table_name, f"part_group={g}")
+        subset = df.filter(F.pmod(group_col, F.lit(n_groups)) == g)
+        # deterministic file layout: range-partition then sort inside.
+        # Explicit partition count — without it AQE coalesces the shuffle to
+        # ~64MB partitions and the (expensive) sort+encode+write stage runs
+        # nearly serial regardless of cluster size.
+        n_write = max(spark.sparkContext.defaultParallelism, 2)
+        rng = [F.col(c) for c in (range_cols or sort_cols[:2])]
+        subset.repartitionByRange(n_write, *rng).sortWithinPartitions(
+            *sort_cols
+        ).write.mode("overwrite").parquet(group_dir)
+        rows = spark.read.parquet(group_dir).count()  # parquet-footer count
+        mf.commit_partition(
+            spark,
+            out_dir,
+            run_id=run_id,
+            stage=stage,
+            partition_id=g,
+            rows_in=None,
+            rows_out=rows,
+            skip_reasons=None,
+            started_at=started,
+            lineage=lineage,
+        )
+        done.add(g)
+        total += rows
+    return total
+
+
 def materialize_edges(
     spark: SparkSession,
     edges: DataFrame,
@@ -58,44 +117,20 @@ def materialize_edges(
     """Write bucketed edges in resumable partition groups; return rows written
     across groups committed *by this call*."""
     bucketed = with_bucket(edges, n_buckets)
-    done = mf.committed_partitions(spark, out_dir, "materialize_edges", lineage)
-    total = 0
-    for g in range(n_groups):
-        if g in done:
-            continue
-        if fail_after_groups is not None and len(done) >= fail_after_groups:
-            raise InjectedFailure(f"injected failure before group {g}")
-        started = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
-        group_dir = os.path.join(edges_path(out_dir), f"part_group={g}")
-        subset = bucketed.filter(F.pmod(F.col("bucket"), F.lit(n_groups)) == g)
-        # deterministic file layout: repartition by bucket then sort inside.
-        # Explicit partition count — without it AQE coalesces the shuffle to
-        # ~64MB partitions and the (expensive) sort+encode+write stage runs
-        # nearly serial regardless of cluster size.
-        n_write = max(
-            spark.sparkContext.defaultParallelism, n_buckets // n_groups
-        )
-        subset.repartitionByRange(
-            n_write, F.col("bucket"), F.col("subj_id")
-        ).sortWithinPartitions(
-            "bucket", "subj_id", "pred", "obj_id", "doc_id", "offset"
-        ).write.mode("overwrite").parquet(group_dir)
-        rows = spark.read.parquet(group_dir).count()  # parquet-footer count
-        mf.commit_partition(
-            spark,
-            out_dir,
-            run_id=run_id,
-            stage="materialize_edges",
-            partition_id=g,
-            rows_in=None,
-            rows_out=rows,
-            skip_reasons=None,
-            started_at=started,
-            lineage=lineage,
-        )
-        done.add(g)
-        total += rows
-    return total
+    return materialize_partitioned(
+        spark,
+        bucketed,
+        out_dir,
+        "edges",
+        run_id=run_id,
+        lineage=lineage,
+        group_col=F.col("bucket"),
+        n_groups=n_groups,
+        sort_cols=["bucket", "subj_id", "pred", "obj_id", "doc_id", "offset"],
+        range_cols=["bucket", "subj_id"],
+        stage="materialize_edges",
+        fail_after_groups=fail_after_groups,
+    )
 
 
 def build_nodes(

@@ -29,6 +29,7 @@ from kg.materialize import (
     build_nodes_from_edges,
     materialize_edges,
     materialize_nodes,
+    materialize_partitioned,
     with_bucket,
 )
 from kg.normalize import normalize_spans
@@ -66,6 +67,7 @@ def run_pipeline(
     n_groups: int = 4,
     fail_after_groups: int | None = None,
     replicate: int = 1,
+    checkpoint_stages: bool = False,
 ) -> dict:
     """End-to-end run (resumable: rerun with same out_dir/sf_dir skips
     committed partition groups). Returns a stats dict."""
@@ -74,15 +76,45 @@ def run_pipeline(
         f"sf_dir={sf_dir};extractor={extractor};buckets={n_buckets};rep={replicate}"
     )
     t0 = time.time()
+    timing = os.environ.get("KG_TIMING") == "1"
+
+    def _mark(label: str) -> None:
+        if timing:
+            print(f"[timing] {label} +{time.time() - t0:.1f}s", file=sys.stderr)
+
+    def _stage_ckpt(df: DataFrame, name: str, sort_cols: list[str]) -> DataFrame:
+        """Optional per-stage checkpoint (north rule: every stage commits
+        per-partition progress with lineage + counters): write the stage
+        output in resumable partition groups, then read it back so
+        downstream stages consume the durable copy."""
+        if not checkpoint_stages:
+            return df
+        materialize_partitioned(
+            spark,
+            df,
+            out_dir,
+            name,
+            run_id=run_id,
+            lineage=lineage,
+            group_col=F.pmod(F.xxhash64("doc_id"), F.lit(n_groups)),
+            n_groups=n_groups,
+            sort_cols=sort_cols,
+            stage=name,
+        )
+        _mark(f"stage {name} committed")
+        return spark.read.parquet(os.path.join(out_dir, name))
 
     if extractor == "fused":
         # Arrow fast path: derive+normalize+extract in one mapInPandas
         # kernel (see kg.fused for why the stagewise JVM path can't scale)
         triples_surface = fused_extract_triples(spark, sf_dir, replicate=replicate)
-        canon = canonical_map(spark)
-        final = canonicalize_triples(
-            link_triples(triples_surface, alias_dict(spark)), canon
+        triples_surface = _stage_ckpt(
+            triples_surface, "stage_extract", ["doc_id", "offset", "subj_pos"]
         )
+        canon = canonical_map(spark)
+        linked = link_triples(triples_surface, alias_dict(spark))
+        linked = _stage_ckpt(linked, "stage_link", ["doc_id", "offset", "subj_id"])
+        final = canonicalize_triples(linked, canon)
         # NO .persist(): caching tens of millions of rows turns the JVM
         # into a GC bottleneck that erases multi-core scaling (measured:
         # extract 8s uncached vs 50s cached at local[32]). The written
@@ -100,11 +132,6 @@ def run_pipeline(
         triples_surface = triples_surface.persist()
         final = final.persist()
         persisted = [triples_surface, final]
-    timing = os.environ.get("KG_TIMING") == "1"
-
-    def _mark(label: str) -> None:
-        if timing:
-            print(f"[timing] {label} +{time.time() - t0:.1f}s", file=sys.stderr)
 
     try:
         _mark("plan built")
@@ -160,6 +187,11 @@ def main() -> None:
     p.add_argument("--replicate", type=int, default=1)
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--master", default=None, help="e.g. spark://127.0.0.1:7077")
+    p.add_argument(
+        "--checkpoint-stages",
+        action="store_true",
+        help="commit every stage's output in resumable partition groups",
+    )
     args = p.parse_args()
 
     spark = get_spark(
@@ -179,6 +211,7 @@ def main() -> None:
             n_buckets=args.n_buckets,
             n_groups=args.n_groups,
             replicate=args.replicate,
+            checkpoint_stages=args.checkpoint_stages,
         )
         print(json.dumps(stats))
     finally:

@@ -64,6 +64,48 @@ def stream_extract_triples(
     )
 
 
+def stateful_dedup_stream(
+    docs_stream: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """Custom stateful operator: first-wins document dedup ACROSS
+    micro-batches (the streaming twin of SURVEY §2.4 D2, whose batch form
+    is a window over an explicit order column). Implemented with
+    ``applyInPandasWithState``: per ``doc_id`` group, a boolean 'seen'
+    state; only the first arrival is emitted, duplicates in later batches
+    are dropped. State lives in the checkpoint, so a restarted stream
+    still remembers what it emitted.
+    """
+    import pandas as _pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "doc_id BIGINT, text STRING"
+    state_schema = "seen BOOLEAN"
+
+    def _dedup(key, pdfs, state: GroupState):
+        batch = _pd.concat(list(pdfs), ignore_index=True)
+        if state.exists:
+            yield batch.iloc[0:0]
+            return
+        state.update((True,))
+        yield batch.sort_values("doc_id").head(1)
+
+    deduped = docs_stream.groupBy("doc_id").applyInPandasWithState(
+        _dedup,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+
+
 def windowed_event_counts(events_stream: DataFrame) -> DataFrame:
     """10-minute tumbling event-time windows with a 20-minute watermark:
     (window, event_type, n, total_value). Late events beyond the watermark
