@@ -26,6 +26,7 @@ def ops_queries() -> dict[str, QueryFn]:
         # similarity search
         "ss_bruteforce_topk": simsearch.bruteforce_topk,
         "ss_lsh_topk": simsearch.lsh_topk,
+        "ss_ivf_topk": simsearch.ivf_topk,
         # text analysis
         "ts_token_count": textstats.token_count,
         "ts_quality_score": textstats.quality_score,
@@ -61,6 +62,7 @@ def ops_oracles() -> dict[str, str]:
         "dd_embedding_neardup": dedup.embedding_neardup_sql(),
         "ss_bruteforce_topk": simsearch.bruteforce_topk_sql(),
         "ss_lsh_topk": simsearch.lsh_topk_sql(),
+        "ss_ivf_topk": simsearch.ivf_topk_sql(),
         "ts_token_count": textstats.token_count_sql(),
         "ts_quality_score": textstats.quality_score_sql(),
         "ts_lang_id": textstats.lang_id_sql(),
