@@ -92,6 +92,41 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(_run, schema=MEDIA_FEATURES)
 
 
+def frame_samples(spark: SparkSession, sf_dir: str, stride: int = 24) -> DataFrame:
+    """Frame sampling plumbing for video spans: every ``stride``-th frame
+    index of each video, as (doc_id, media_ref, frame_idx, frame_fp).
+    The decode is the same stubbed slot as media_features; the Spark-side
+    shape (explode of a per-row frame range, deterministic per-frame
+    fingerprint) is the real, tested part."""
+    feats = media_features(spark, sf_dir).filter(F.col("kind") == "video")
+    idx = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(stride))
+    return feats.select(
+        "doc_id",
+        "media_ref",
+        F.explode(idx).alias("frame_idx"),
+    ).select(
+        "doc_id",
+        "media_ref",
+        "frame_idx",
+        F.md5(F.concat(F.col("media_ref"), F.lit("#"), F.col("frame_idx"))).alias(
+            "frame_fp"
+        ),
+    )
+
+
+def frame_samples_sql(stride: int = 24) -> str:
+    base = media_features_sql()
+    return f"""
+WITH feats AS ({base})
+SELECT doc_id, media_ref, CAST(frame_idx AS int) AS frame_idx,
+       md5(media_ref || '#' || frame_idx) AS frame_fp
+FROM (
+  SELECT doc_id, media_ref,
+         unnest(range(0, n_frames, {stride})) AS frame_idx
+  FROM feats WHERE kind = 'video'
+)"""
+
+
 def media_features_sql() -> str:
     from kg.synth import SQL_EXPLODED_SPANS
 

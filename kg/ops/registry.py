@@ -34,6 +34,7 @@ def ops_queries() -> dict[str, QueryFn]:
         "ts_fingerprint": textstats.fingerprint,
         # multimodal plumbing
         "md_media_features": media.media_features,
+        "md_frame_samples": media.frame_samples,
         # reference string-function parity (SURVEY §2.3 T7/T9/T10)
         "fn_search_text": textfns.search_text,
         "fn_structured_id": textfns.structured_id,
@@ -48,6 +49,8 @@ def ops_queries() -> dict[str, QueryFn]:
         "rel_events_rolling": relational.events_rolling,
         "rel_event_type_hist": relational.event_type_hist,
         "rel_filter_projection": relational.filter_projection,
+        "rel_anti_join": relational.customers_without_orders,
+        "rel_semi_join": relational.suppliers_with_orders,
     }
 
 
@@ -68,6 +71,7 @@ def ops_oracles() -> dict[str, str]:
         "ts_lang_id": textstats.lang_id_sql(),
         "ts_fingerprint": textstats.fingerprint_sql(),
         "md_media_features": media.media_features_sql(),
+        "md_frame_samples": media.frame_samples_sql(),
         "fn_search_text": textfns.search_text_sql(),
         "fn_structured_id": textfns.structured_id_sql(),
         "fn_normalized_categories": textfns.normalized_categories_sql(),
@@ -79,4 +83,6 @@ def ops_oracles() -> dict[str, str]:
         "rel_events_rolling": relational.events_rolling_sql(),
         "rel_event_type_hist": relational.event_type_hist_sql(),
         "rel_filter_projection": relational.filter_projection_sql(),
+        "rel_anti_join": relational.customers_without_orders_sql(),
+        "rel_semi_join": relational.suppliers_with_orders_sql(),
     }

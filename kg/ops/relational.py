@@ -161,6 +161,54 @@ SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type HAVING count(*) > 0"""
 
 
+BIG_ORDER = 300_000.0
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (set-difference shape the reference lacks entirely):
+    customers who never placed a large order, with their nation. (Every
+    customer has SOME order in this corpus, so the anti join is against
+    the large-order subset to keep the result non-trivial.)"""
+    customer = _t(spark, sf_dir, "customer")
+    big_orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > BIG_ORDER
+    )
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        customer.join(
+            big_orders, customer.c_custkey == big_orders.o_custkey, "left_anti"
+        )
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "n_name")
+    )
+
+
+def customers_without_orders_sql() -> str:
+    return f"""
+SELECT c_custkey, c_name, n_name
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_totalprice > {BIG_ORDER}
+)"""
+
+
+def suppliers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join: suppliers whose parts appear in any lineitem."""
+    supplier = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    return supplier.join(
+        li, supplier.s_suppkey == li.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+def suppliers_with_orders_sql() -> str:
+    return """
+SELECT s_suppkey, s_name FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)"""
+
+
 def filter_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/F3/F5 analog: required-field + length-bounds filter and derived
     projection over documents."""

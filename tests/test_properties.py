@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis) — an upgrade over the reference's
+hand-rolled assertion scripts (SURVEY §5). Examples are generated up
+front and pushed through Spark in ONE batch per property, so each
+property costs one job, not one per example."""
+
+import string
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kg.cleaning import clean_text_col, clean_text_pandas
+from kg.extract import _extract_batch
+from kg.vocab import DEFAULT_PRED, ENTITY_SURFACES, PREDICATES
+
+# text with the artifact classes the kernel cleans
+_dirty = st.text(
+    alphabet=string.ascii_letters + string.digits + " .$\\{}<>&_^#@/:-'\"",
+    max_size=120,
+)
+
+
+def _spark_clean(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    return [r.c for r in df.select(clean_text_col(F.col("t")).alias("c")).collect()]
+
+
+def test_pandas_clean_is_idempotent():
+    @given(st.lists(_dirty, min_size=1, max_size=200))
+    @settings(max_examples=30, deadline=None)
+    def prop(texts):
+        once = clean_text_pandas(pd.Series(texts)).tolist()
+        twice = clean_text_pandas(pd.Series(once)).tolist()
+        assert once == twice
+
+    prop()
+
+
+def test_clean_output_has_no_double_spaces_or_tags():
+    @given(st.lists(_dirty, min_size=1, max_size=200))
+    @settings(max_examples=30, deadline=None)
+    def prop(texts):
+        out = clean_text_pandas(pd.Series(texts)).tolist()
+        for o in out:
+            assert "  " not in o
+            assert o == o.strip().lower()
+
+    prop()
+
+
+def test_spark_and_pandas_cleaning_agree(spark):
+    # one batched cross-engine comparison over many hypothesis examples
+    examples = []
+
+    @given(st.lists(_dirty, min_size=1, max_size=50))
+    @settings(max_examples=20, deadline=None)
+    def collect(texts):
+        examples.extend(texts)
+
+    collect()
+    # NFKD folding (pandas-only) can differ on exotic unicode; the
+    # strategy alphabet is ASCII so both paths must agree exactly
+    got_pd = clean_text_pandas(pd.Series(examples)).tolist()
+    got_sp = _spark_clean(spark, examples)
+    assert got_pd == got_sp
+
+
+_tokens = st.lists(
+    st.sampled_from(
+        ENTITY_SURFACES + PREDICATES + ["the", "a", "fast", "slow", "zzz"]
+    ),
+    max_size=20,
+)
+
+
+def test_extraction_invariants():
+    @given(st.lists(_tokens, min_size=1, max_size=50))
+    @settings(max_examples=50, deadline=None)
+    def prop(spans):
+        texts = [" ".join(t) for t in spans]
+        out = _extract_batch(
+            [f"d{i}" for i in range(len(texts))], list(range(len(texts))), texts
+        )
+        ents = set(ENTITY_SURFACES)
+        preds = set(PREDICATES) | {DEFAULT_PRED}
+        for _, r in out.iterrows():
+            toks = [w for w in texts[r["offset"]].split(" ") if w]
+            # subject/object are dictionary mentions at their positions
+            assert r["subj_surface"] in ents and r["obj_surface"] in ents
+            assert toks[r["subj_pos"]] == r["subj_surface"]
+            assert toks[r["obj_pos"]] == r["obj_surface"]
+            assert r["subj_pos"] < r["obj_pos"]
+            assert r["pred"] in preds
+            # consecutive mentions: nothing between them is an entity
+            for q in range(r["subj_pos"] + 1, r["obj_pos"]):
+                assert toks[q] not in ents
+        # triple count = max(0, mentions-1) per span
+        for i, t in enumerate(spans):
+            n_m = sum(1 for w in t if w in ents)
+            assert len(out[out["offset"] == i]) == max(0, n_m - 1)
+
+    prop()
