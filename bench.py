@@ -49,7 +49,7 @@ def main() -> None:
     # compute-bound throughput: same job on the corpus tiled x16 —
     # at raw SF the wall is dominated by fixed per-job overhead, which a
     # real 100TB run amortizes away
-    rep = int(os.environ.get("KG_BENCH_REPLICATE", "16"))
+    rep = int(os.environ.get("KG_BENCH_REPLICATE", "64"))
     out_dir = tempfile.mkdtemp(prefix="kg_bench_rep_")
     try:
         t0 = time.time()

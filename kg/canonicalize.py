@@ -153,6 +153,31 @@ def _driver_cc(
 _CANON_CACHE: dict[int, list] = {}
 
 
+def surface_similarity_edges(
+    surfaces: DataFrame, max_distance: int = 2, block_prefix: int = 2
+) -> DataFrame:
+    """Corpus-derived surface-form similarity graph (the north star's
+    "iterative DataFrame self-join" input): distinct surfaces are blocked
+    on a normalized prefix key, and only within-block pairs are compared
+    (levenshtein <= max_distance). Blocking bounds the pair count —
+    without it the self-join is quadratic in distinct surfaces, which is
+    the SURVEY §7.4.4 landmine.
+
+    Input: a DataFrame with a ``surface`` column. Output: (src, dst)
+    undirected edges, src < dst.
+    """
+    s = surfaces.select(F.col("surface")).distinct()
+    blocked = s.withColumn("_blk", F.substring("surface", 1, block_prefix))
+    a = blocked.select(F.col("surface").alias("src"), "_blk")
+    b = blocked.select(F.col("surface").alias("dst"), "_blk")
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("src") < F.col("dst"))
+        .filter(F.levenshtein("src", "dst") <= max_distance)
+        .select("src", "dst")
+    )
+
+
 def canonical_map(spark: SparkSession, max_component: int | None = 1000) -> DataFrame:
     """(surface, canonical_id, canonical_name) over the alias graph.
 

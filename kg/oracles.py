@@ -198,6 +198,19 @@ LIMIT {limit}"""
     )
 
 
+def similarity_edges_sql(max_distance: int = 3, block_prefix: int = 1) -> str:
+    """Oracle for the blocked surface-similarity self-join."""
+    return (
+        _TRIPLES_CTE
+        + f""",
+surfaces AS (SELECT DISTINCT tok AS surface FROM tok),
+blocked AS (SELECT surface, substr(surface, 1, {block_prefix}) AS blk FROM surfaces)
+SELECT a.surface AS src, b.surface AS dst
+FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.surface < b.surface
+WHERE levenshtein(a.surface, b.surface) <= {max_distance}"""
+    )
+
+
 def pred_hist_sql() -> str:
     return (
         _TRIPLES_CTE

@@ -87,6 +87,21 @@ def q_top_entities(spark: SparkSession, sf_dir: str, limit: int = 20) -> DataFra
     )
 
 
+def q_similarity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-derived surface-similarity graph over observed mention
+    surfaces (blocked self-join + levenshtein; feeds connected
+    components when no curated alias dictionary exists)."""
+    from kg.canonicalize import surface_similarity_edges
+
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
+    surfaces = (
+        q_spans_norm(spark, sf_dir)
+        .filter(F.col("kind") == "text")
+        .select(F.explode(toks).alias("surface"))
+    )
+    return surface_similarity_edges(surfaces, max_distance=3, block_prefix=1)
+
+
 def q_pred_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         q_triples_surface(spark, sf_dir)
