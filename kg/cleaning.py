@@ -7,9 +7,11 @@ two ways with identical semantics on the supported input class:
 * :func:`clean_text_col` — pure native column expressions (chained
   ``regexp_replace``/``translate``); stays inside whole-stage codegen, the
   100 TB hot path.
-* :func:`clean_text_pandas` — an Arrow-vectorized pandas kernel (full
-  ``html.unescape`` + NFKD), the "arbitrary Python per batch" slot the
-  reference fills with ``data_processor_optimized.py:42-145``.
+* :func:`clean_text_pandas` — an Arrow-vectorized pandas kernel, the
+  "arbitrary Python per batch" slot the reference fills with
+  ``data_processor_optimized.py:42-145``. Semantically IDENTICAL to the
+  native path (same entity list, same fixed accent-fold table) so the
+  two are interchangeable on any input.
 
 Order matters (the reference applies fixed order; SURVEY §2.3 T6) — both
 paths apply the exact same order. A unit test asserts the two paths agree
@@ -18,9 +20,7 @@ on the fixture corpus.
 
 from __future__ import annotations
 
-import html as _html
 import re
-import unicodedata
 
 import pandas as pd
 from pyspark.sql import Column
@@ -29,6 +29,26 @@ from pyspark.sql import functions as F
 # 7-char unicode punctuation map (reference analog: text_cleaner.py:32-40).
 _UNICODE_SRC = "\u2018\u2019\u201c\u201d\u2013\u2014\u2026"
 _UNICODE_DST = "''\"\"--."
+
+# Fixed accent-fold map: every Latin-1-supplement / Latin-Extended-A char
+# whose NFKD decomposition is one ASCII letter + combining marks. This is
+# the NFKD-equivalent fold for the mapped char class, expressed as a
+# translate() so all THREE paths (native / pandas / DuckDB) apply the
+# exact same transformation \u2014 round 1 had open-ended NFKD only in the
+# pandas path, silently diverging from the native path on accented text.
+# Chars with no single-ASCII decomposition (\u00f8, \u00e6, \u00df, \u0111, \u2026) pass through
+# unchanged in every path (documented input-class boundary).
+_ACCENT_SRC = (
+    "\u00c0\u00c1\u00c2\u00c3\u00c4\u00c5\u00c7\u00c8\u00c9\u00ca\u00cb\u00cc\u00cd\u00ce\u00cf\u00d1\u00d2\u00d3\u00d4\u00d5\u00d6\u00d9\u00da\u00db\u00dc\u00dd\u00e0\u00e1\u00e2\u00e3\u00e4\u00e5\u00e7\u00e8\u00e9\u00ea\u00eb\u00ec\u00ed\u00ee\u00ef\u00f1\u00f2\u00f3\u00f4\u00f5\u00f6\u00f9\u00fa\u00fb\u00fc\u00fd\u00ff"
+    "\u0100\u0101\u0102\u0103\u0104\u0105\u0106\u0107\u0108\u0109\u010a\u010b\u010c\u010d\u010e\u010f\u0112\u0113\u0114\u0115\u0116\u0117\u0118\u0119\u011a\u011b\u011c\u011d\u011e\u011f\u0120\u0121\u0122\u0123\u0124\u0125\u0128\u0129\u012a\u012b\u012c\u012d\u012e\u012f\u0130\u0134\u0135\u0136\u0137\u0139\u013a\u013b\u013c\u013d\u013e"
+    "\u0143\u0144\u0145\u0146\u0147\u0148\u014c\u014d\u014e\u014f\u0150\u0151\u0154\u0155\u0156\u0157\u0158\u0159\u015a\u015b\u015c\u015d\u015e\u015f\u0160\u0161\u0162\u0163\u0164\u0165\u0168\u0169\u016a\u016b\u016c\u016d\u016e\u016f\u0170\u0171\u0172\u0173\u0174\u0175\u0176\u0177\u0178\u0179\u017a\u017b\u017c\u017d\u017e\u017f"
+)
+_ACCENT_DST = (
+    "AAAAAACEEEEIIIINOOOOOUUUUYaaaaaaceeeeiiiinooooouuuuyy"
+    "AaAaAaCcCcCcCcDdEeEeEeEeEeGgGgGgGgHhIiIiIiIiIJjKkLlLlLl"
+    "NnNnNnOoOoOoRrRrRrSsSsSsSsTtTtUuUuUuUuUuUuWwYyYZzZzZzs"
+)
+assert len(_ACCENT_SRC) == len(_ACCENT_DST)
 
 _HTML_ENTITIES = [
     ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
@@ -62,6 +82,7 @@ def clean_text_col(c: Column) -> Column:
     for pat, rep in _URL_STEPS:
         c = F.regexp_replace(c, pat, rep)
     c = F.translate(c, _UNICODE_SRC, _UNICODE_DST)
+    c = F.translate(c, _ACCENT_SRC, _ACCENT_DST)
     c = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
     return c
 
@@ -70,23 +91,25 @@ _PY_LATEX = [(re.compile(p), r.replace("$1", "\\1")) for p, r in _LATEX_STEPS]
 _PY_URLS = [(re.compile(p), r) for p, r in _URL_STEPS]
 _TAG_RE = re.compile(r"<[^>]+>")
 _WS_RE = re.compile(r"\s+")
-_UNI_TABLE = str.maketrans(_UNICODE_SRC, _UNICODE_DST)
+_UNI_TABLE = str.maketrans(
+    _UNICODE_SRC + _ACCENT_SRC, _UNICODE_DST + _ACCENT_DST
+)
 
 
 def clean_text_pandas(s: pd.Series) -> pd.Series:
-    """Arrow-batch pandas mirror of :func:`clean_text_col` (+ NFKD fold)."""
+    """Arrow-batch pandas mirror of :func:`clean_text_col` — SAME entity
+    list and SAME fixed accent-fold table, so the two paths are
+    interchangeable on ANY input (round 1 used open-ended html.unescape +
+    NFKD here, which diverged from the native path on entity-rich or
+    accented text; a three-way lockstep test now pins the semantics)."""
     s = s.str.replace(_TAG_RE, " ", regex=True)
-    s = s.map(_html.unescape)
+    for src, dst in _HTML_ENTITIES:
+        s = s.str.replace(src, dst, regex=False)
     for rx, rep in _PY_LATEX:
         s = s.str.replace(rx, rep, regex=True)
     for rx, rep in _PY_URLS:
         s = s.str.replace(rx, rep, regex=True)
     s = s.map(lambda t: t.translate(_UNI_TABLE))
-    s = s.map(
-        lambda t: "".join(
-            ch for ch in unicodedata.normalize("NFKD", t) if not unicodedata.combining(ch)
-        )
-    )
     s = s.str.replace(_WS_RE, " ", regex=True).str.strip().str.lower()
     return s
 
@@ -104,6 +127,7 @@ def sql_clean_text(expr: str) -> str:
     src_esc = _UNICODE_SRC.replace("'", "''")
     dst_esc = _UNICODE_DST.replace("'", "''")
     e = f"translate({e}, '{src_esc}', '{dst_esc}')"
+    e = f"translate({e}, '{_ACCENT_SRC}', '{_ACCENT_DST}')"
     e = f"lower(trim(regexp_replace({e}, '\\s+', ' ', 'g')))"
     return e
 

@@ -67,25 +67,70 @@ def materialize_partitioned(
     by THIS call."""
     stage = stage or f"materialize_{table_name}"
     done = mf.committed_partitions(spark, out_dir, stage, lineage)
+    table_dir = os.path.join(out_dir, table_name)
+
+    # Stale-dir hygiene: a part_group=N dir NOT committed under THIS
+    # lineage is either a partial write (kill mid-move) or debris from a
+    # different lineage — e.g. a rerun with a different n_groups modulus,
+    # which reinterprets group ids (lineage now includes n_groups, so that
+    # rerun sees done=∅ and this sweep clears the whole table). Anything
+    # left behind would be silently double-read by the final
+    # spark.read.parquet(table_dir).
+    if os.path.isdir(table_dir):
+        for entry in os.listdir(table_dir):
+            keep = False
+            if entry.startswith("part_group="):
+                try:
+                    keep = int(entry.split("=", 1)[1]) in done
+                except ValueError:
+                    keep = False
+            if not keep:
+                full = os.path.join(table_dir, entry)
+                if os.path.isdir(full):
+                    shutil.rmtree(full, ignore_errors=True)
+                else:
+                    os.remove(full)
+
+    remaining = [g for g in range(n_groups) if g not in done]
+    if not remaining:
+        return 0
+
+    # ONE job writes every uncommitted group via partitionBy("part_group")
+    # into a staging dir (round-1 wrote each group in its own job, which
+    # re-ran the whole upstream plan n_groups times); groups are then
+    # promoted into the table dir and committed one at a time, so the
+    # resume granularity (and the manifest contract) is unchanged.
+    staging = os.path.join(out_dir, "_staging", table_name)
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    part_group = F.pmod(group_col, F.lit(n_groups)).cast("int")
+    subset = df.withColumn("part_group", part_group)
+    if len(remaining) < n_groups:
+        subset = subset.filter(F.col("part_group").isin(remaining))
+    # deterministic file layout: range-partition then sort inside.
+    # Explicit partition count — without it AQE coalesces the shuffle to
+    # ~64MB partitions and the (expensive) sort+encode+write stage runs
+    # nearly serial regardless of cluster size.
+    n_write = max(spark.sparkContext.defaultParallelism, 2)
+    rng = [F.col("part_group")] + [F.col(c) for c in (range_cols or sort_cols[:2])]
+    subset.repartitionByRange(n_write, *rng).sortWithinPartitions(
+        "part_group", *sort_cols
+    ).write.mode("overwrite").partitionBy("part_group").parquet(staging)
+
     total = 0
-    for g in range(n_groups):
-        if g in done:
-            continue
+    for g in remaining:
         if fail_after_groups is not None and len(done) >= fail_after_groups:
             raise InjectedFailure(f"injected failure before group {g}")
         started = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
-        group_dir = os.path.join(out_dir, table_name, f"part_group={g}")
-        subset = df.filter(F.pmod(group_col, F.lit(n_groups)) == g)
-        # deterministic file layout: range-partition then sort inside.
-        # Explicit partition count — without it AQE coalesces the shuffle to
-        # ~64MB partitions and the (expensive) sort+encode+write stage runs
-        # nearly serial regardless of cluster size.
-        n_write = max(spark.sparkContext.defaultParallelism, 2)
-        rng = [F.col(c) for c in (range_cols or sort_cols[:2])]
-        subset.repartitionByRange(n_write, *rng).sortWithinPartitions(
-            *sort_cols
-        ).write.mode("overwrite").parquet(group_dir)
-        rows = spark.read.parquet(group_dir).count()  # parquet-footer count
+        src = os.path.join(staging, f"part_group={g}")
+        dst = os.path.join(table_dir, f"part_group={g}")
+        rows = 0
+        if os.path.exists(src):  # an empty group writes no partition dir
+            os.makedirs(table_dir, exist_ok=True)
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            shutil.move(src, dst)
+            rows = spark.read.parquet(dst).count()  # parquet-footer count
         mf.commit_partition(
             spark,
             out_dir,
@@ -100,6 +145,7 @@ def materialize_partitioned(
         )
         done.add(g)
         total += rows
+    shutil.rmtree(os.path.join(out_dir, "_staging"), ignore_errors=True)
     return total
 
 
@@ -270,11 +316,16 @@ def write_bucketed_table(
     the session catalog / warehouse dir.) Returns the table name."""
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # a previous session may have dropped the metadata but left the
-    # managed location behind — clear it so saveAsTable doesn't refuse
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
-    loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
-    if loc and os.path.exists(loc):
-        shutil.rmtree(loc)
+    # managed location behind — clear it so saveAsTable doesn't refuse.
+    # Only when the warehouse conf resolves to an absolute path: an empty
+    # conf would make the join CWD-relative and rmtree an unrelated dir.
+    warehouse = (spark.conf.get("spark.sql.warehouse.dir", "") or "").removeprefix(
+        "file:"
+    )
+    if warehouse and os.path.isabs(warehouse):
+        loc = os.path.join(warehouse, table.lower())
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
     (
         edges.write.bucketBy(n_buckets, "subj_id")
         .sortBy("subj_id")

@@ -278,7 +278,13 @@ def _sign_bucket(vec_col, bits: int = SIGN_BITS):
     return b.cast("int")
 
 
-def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_neardup(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    sign_bits: int = SIGN_BITS,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Top-N most-similar same-sign-bucket pairs (vec_a, vec_b, cos, rank).
 
     The sign bucket blocks the candidate set before any pair is formed
@@ -286,12 +292,31 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed cosine threshold would be trivially empty on this synthetic
     corpus (max pairwise cosine ≈ 0.48), so the query ranks instead —
     same plan, non-degenerate output. Dot in float64, rounded to 4dp,
-    ties broken by (vec_a, vec_b)."""
+    ties broken by (vec_a, vec_b).
+
+    Scale dials (round-2): ``sign_bits`` sets the bucket count (2^bits;
+    raise it with corpus size so per-bucket membership stays bounded —
+    at 10^12 rows, 2^30 buckets keep within-bucket work ~constant), and
+    ``max_bucket`` optionally caps per-bucket membership to the
+    ``max_bucket`` smallest vec_ids (deterministic survivor set, a
+    partitioned — never global — window), bounding worst-case pair
+    counts to C(max_bucket, 2) per bucket under skew. The final top-N is
+    ``orderBy().limit()`` (TakeOrderedAndProject, parallel partial
+    top-k), not a global Window over every scored pair; ``rank`` is
+    derived on the N-row result.
+    """
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    e = e.withColumn("bucket", _sign_bucket(F.col("v")))
+    e = e.withColumn("bucket", _sign_bucket(F.col("v"), sign_bits))
+    if max_bucket is not None:
+        wb = Window.partitionBy("bucket").orderBy("vec_id")
+        e = (
+            e.withColumn("_bn", F.row_number().over(wb))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     a = e.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket"
     )
@@ -304,14 +329,14 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc("cos"), F.asc("vec_a"), F.asc("vec_b"))
-    return (
+    topn = (
         pairs.withColumn("cos", F.round(dot, 4))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= NEARDUP_TOP_PAIRS)
-        .select("vec_a", "vec_b", "cos", "rank")
+        .orderBy(F.desc("cos"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(NEARDUP_TOP_PAIRS)
+    )
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_a"), F.asc("vec_b"))
+    return topn.withColumn("rank", F.row_number().over(w)).select(
+        "vec_a", "vec_b", "cos", "rank"
     )
 
 

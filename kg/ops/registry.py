@@ -27,6 +27,7 @@ def ops_queries() -> dict[str, QueryFn]:
         "ss_bruteforce_topk": simsearch.bruteforce_topk,
         "ss_lsh_topk": simsearch.lsh_topk,
         "ss_ivf_topk": simsearch.ivf_topk,
+        "ss_embedding_validation": simsearch.embedding_validation,
         # text analysis
         "ts_token_count": textstats.token_count,
         "ts_quality_score": textstats.quality_score,
@@ -35,10 +36,11 @@ def ops_queries() -> dict[str, QueryFn]:
         # multimodal plumbing
         "md_media_features": media.media_features,
         "md_frame_samples": media.frame_samples,
-        # reference string-function parity (SURVEY §2.3 T7/T9/T10)
+        # reference string-function parity (SURVEY §2.3 T7/T9/T10, F2)
         "fn_search_text": textfns.search_text,
         "fn_structured_id": textfns.structured_id,
         "fn_normalized_categories": textfns.normalized_categories,
+        "fn_category_filter": textfns.category_filter,
         # streaming twin (batch plan of the windowed event-time aggregation)
         "ev_windowed_counts": windowed_event_counts_batch,
         # relational operator coverage
@@ -66,6 +68,7 @@ def ops_oracles() -> dict[str, str]:
         "ss_bruteforce_topk": simsearch.bruteforce_topk_sql(),
         "ss_lsh_topk": simsearch.lsh_topk_sql(),
         "ss_ivf_topk": simsearch.ivf_topk_sql(),
+        "ss_embedding_validation": simsearch.embedding_validation_sql(),
         "ts_token_count": textstats.token_count_sql(),
         "ts_quality_score": textstats.quality_score_sql(),
         "ts_lang_id": textstats.lang_id_sql(),
@@ -75,6 +78,7 @@ def ops_oracles() -> dict[str, str]:
         "fn_search_text": textfns.search_text_sql(),
         "fn_structured_id": textfns.structured_id_sql(),
         "fn_normalized_categories": textfns.normalized_categories_sql(),
+        "fn_category_filter": textfns.category_filter_sql(),
         "ev_windowed_counts": windowed_event_counts_sql(),
         "rel_pricing_summary": relational.pricing_summary_sql(),
         "rel_revenue_by_nation": relational.revenue_by_nation_sql(),

@@ -23,19 +23,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-flavored aggregation over lineitem."""
+    """TPC-H Q1-flavored aggregation over lineitem.
+
+    Money arithmetic is done entirely in decimal: only the RAW columns are
+    cast double->decimal (safe: raw values are exact at 4dp, so Spark's
+    shortest-string cast and DuckDB's exact-scaling cast agree), and the
+    products are exact decimal x decimal — no double product is ever cast
+    to decimal, which is where Spark (HALF_UP on shortest repr) and DuckDB
+    (exact binary scaling) round differently (round-1 sum_charge bug).
+    """
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp")
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    ep = F.col("l_extendedprice").cast("decimal(12,4)")
+    disc_f = (F.lit(1) - F.col("l_discount").cast("decimal(6,4)")).cast("decimal(6,4)")
+    tax_f = (F.lit(1) + F.col("l_tax").cast("decimal(6,4)")).cast("decimal(6,4)")
+    disc_price = ep * disc_f          # decimal(19,8), exact
+    charge = disc_price * tax_f       # decimal(26,12), exact
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
-            F.sum(disc_price.cast(DEC)).cast("double").alias("sum_disc_price"),
-            F.sum(charge.cast(DEC)).cast("double").alias("sum_charge"),
+            F.sum(ep).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
             F.count("*").alias("count_order"),
         )
     )
@@ -45,9 +56,14 @@ def pricing_summary_sql() -> str:
     return """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS decimal(18,4))) AS double) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS decimal(18,4))) AS double) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS decimal(18,4))) AS double) AS sum_disc_price,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS decimal(18,4))) AS double) AS sum_charge,
+       CAST(sum(CAST(l_extendedprice AS decimal(12,4))) AS double) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS decimal(12,4))
+                * CAST(1 - CAST(l_discount AS decimal(6,4)) AS decimal(6,4))) AS double)
+         AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS decimal(12,4))
+                * CAST(1 - CAST(l_discount AS decimal(6,4)) AS decimal(6,4))
+                * CAST(1 + CAST(l_tax AS decimal(6,4)) AS decimal(6,4))) AS double)
+         AS sum_charge,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -82,16 +98,23 @@ GROUP BY n_name"""
 
 
 def top_customers(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
-    """Top-k customers by order revenue (K1 analog), deterministic ties."""
+    """Top-k customers by order revenue (K1 analog), deterministic ties.
+
+    Plan shape: ``orderBy().limit(k)`` = TakeOrderedAndProject (parallel
+    per-partition partial top-k, k rows to the driver-side merge), NOT a
+    global un-partitioned Window, which would move every aggregated row to
+    a single task. The rank column is derived AFTER the limit, over the
+    k-row result — that residual window touches a constant k rows at any
+    data scale.
+    """
     orders = _t(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue")
     )
+    topk = rev.orderBy(F.desc("revenue"), F.asc("o_custkey")).limit(k)
     w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
-    return (
-        rev.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(F.col("o_custkey").alias("custkey"), "revenue", "rank")
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        F.col("o_custkey").alias("custkey"), "revenue", "rank"
     )
 
 

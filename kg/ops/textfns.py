@@ -106,3 +106,59 @@ SELECT doc_id,
            CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END]), ',')
          AS categories_norm
 FROM documents"""
+
+
+# F2 — allowlist substring-membership category filter
+# (``data/scripts/data_processor.py:126-131`` keeps a record iff ANY
+# allowlisted category occurs as a SUBSTRING of the record's categories
+# string; allowlist from ``data/scripts/config.py:48-56``). 'src1' matches
+# src1 AND src10..src19 — exactly the substring semantics (the reference's
+# 'cs.' prefix matches every cs.* subcategory).
+CATEGORY_ALLOWLIST = ["en", "src1"]
+
+
+def category_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: keep docs whose categories string contains any allowlisted
+    category as a substring; emit the matched categories for audit.
+    Output (doc_id, categories, matched)."""
+    d = _docs(spark, sf_dir)
+    cats = F.array_join(
+        F.array_sort(
+            F.array(
+                F.col("lang"),
+                F.col("source"),
+                F.when(F.col("doc_id") % 2 == 0, F.lit("even")).otherwise(
+                    F.lit("odd")
+                ),
+            )
+        ),
+        ",",
+    )
+    allow = F.array(*[F.lit(c) for c in CATEGORY_ALLOWLIST])
+    d = d.select("doc_id", cats.alias("categories"))
+    return d.filter(
+        F.exists(allow, lambda c: F.col("categories").contains(c))
+    ).select(
+        "doc_id",
+        "categories",
+        F.array_join(
+            F.filter(allow, lambda c: F.col("categories").contains(c)), ","
+        ).alias("matched"),
+    )
+
+
+def category_filter_sql() -> str:
+    allow = "[" + ", ".join(f"'{c}'" for c in CATEGORY_ALLOWLIST) + "]"
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         array_to_string(list_sort([lang, source,
+             CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END]), ',')
+           AS categories
+  FROM documents
+)
+SELECT doc_id, categories,
+       array_to_string(list_filter({allow}, c -> contains(categories, c)), ',')
+         AS matched
+FROM d
+WHERE len(list_filter({allow}, c -> contains(categories, c))) > 0"""

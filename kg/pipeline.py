@@ -72,8 +72,14 @@ def run_pipeline(
     """End-to-end run (resumable: rerun with same out_dir/sf_dir skips
     committed partition groups). Returns a stats dict."""
     run_id = run_id or uuid.uuid4().hex[:12]
+    # n_groups is part of the lineage: group id g means "rows with
+    # group_col % n_groups == g", so a resume under a different modulus
+    # must NOT reuse commits (it would skip groups that only partially
+    # cover the new residues) — a changed n_groups yields a fresh lineage
+    # and materialize_partitioned sweeps the stale part_group dirs.
     lineage = (
-        f"sf_dir={sf_dir};extractor={extractor};buckets={n_buckets};rep={replicate}"
+        f"sf_dir={sf_dir};extractor={extractor};buckets={n_buckets};"
+        f"groups={n_groups};rep={replicate}"
     )
     t0 = time.time()
     timing = os.environ.get("KG_TIMING") == "1"

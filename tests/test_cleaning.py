@@ -50,6 +50,33 @@ def test_sql_chain_matches(duck):
     assert got == _expected()
 
 
+ACCENTED = [
+    "Café crème & naïve façade",         # Latin-1 accents + entity-free &
+    "Łukasz vs Ødegaard, smörgåsbord",   # Ł/Ø unmapped (pass through), ö/å fold
+    "Ĉu ĝi estas ŝĉo? — ŭōūũ",           # Latin Extended-A
+    "&quot;Zoë&quot; &amp; Chloé",       # entities + accents together
+    "ÀÉÎÕÜ àéîõü ĀĒĪŌŪ āēīōū",
+]
+
+
+def test_three_way_equality_on_accented_input(spark, duck):
+    """Native / pandas / DuckDB cleaning agree on non-ASCII input — the
+    round-1 NFKD asymmetry regression test (accents fold via one shared
+    fixed translate table in all three paths)."""
+    df = spark.createDataFrame([(s,) for s in ACCENTED], "t string")
+    native = [
+        r.c for r in df.select(clean_text_col(F.col("t")).alias("c")).collect()
+    ]
+    pandas_ = clean_text_pandas(pd.Series(ACCENTED)).tolist()
+    vals = ", ".join("('" + s.replace("'", "''") + "')" for s in ACCENTED)
+    q = f"SELECT {sql_clean_text('t')} AS c FROM (VALUES {vals}) v(t)"
+    sql = [r[0] for r in duck.sql(q).fetchall()]
+    assert native == pandas_ == sql
+    # and the fold actually happened (not a vacuous pass-through)
+    assert native[0] == 'cafe creme & naive facade'
+    assert "ł" in native[1] and "ø" in native[1]  # unmapped chars preserved
+
+
 def test_idempotent_on_clean_corpus(spark):
     """On the synthetic corpus, cleaning must be identity (oracle contract)."""
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -1,0 +1,114 @@
+"""Plan-shape gates (round-2 VERDICT items 2-4): the top-k family must
+plan as TakeOrderedAndProject (parallel partial top-k), never a global
+un-partitioned Window over the full scored set; IVF cell assignment must
+be join- and shuffle-free; blocking caps must bound per-block pair counts.
+"""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from kg.canonicalize import surface_similarity_edges
+from kg.ops import dedup, relational, simsearch
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_topk_family_plans_as_take_ordered(spark):
+    """Every former global-Window top-k now funnels through
+    TakeOrderedAndProject; the only Window left is the rank derivation
+    ABOVE the limit (k rows — in toString() the parent prints first, so
+    Window must appear before TakeOrderedAndProject)."""
+    dfs = {
+        "ss_bruteforce": simsearch.bruteforce_topk(spark, SF_DIR),
+        "ss_lsh": simsearch.lsh_topk(spark, SF_DIR),
+        "ss_ivf": simsearch.ivf_topk(spark, SF_DIR),
+        "dd_embedding_neardup": dedup.embedding_neardup(spark, SF_DIR),
+        "rel_top_customers": relational.top_customers(spark, SF_DIR),
+    }
+    for name, df in dfs.items():
+        p = _plan(df)
+        assert "TakeOrderedAndProject" in p, name
+        assert p.index("Window") < p.index("TakeOrderedAndProject"), (
+            f"{name}: Window below the limit — global sort regression"
+        )
+
+
+def test_ivf_assignment_is_join_and_shuffle_free(spark):
+    """Cell assignment is a per-row argmax over literal centroids — the
+    plan has NO join of any kind and no exchange below the top-k."""
+    p = _plan(simsearch.ivf_topk(spark, SF_DIR))
+    for op in ("Join", "CartesianProduct", "Exchange"):
+        assert op not in p, f"unexpected {op} in IVF plan"
+
+
+def test_similarity_blocking_cap_bounds_pairs(spark):
+    """An adversarial block (many surfaces, one prefix, one length) stays
+    bounded under max_block: pairs <= C(max_block, 2); uncapped is
+    quadratic; capped edges are a subset of uncapped edges."""
+    n, cap = 200, 10
+    surfaces = spark.createDataFrame(
+        [(f"aa{i:04d}",) for i in range(n)], "surface string"
+    )
+    capped = surface_similarity_edges(
+        surfaces, max_distance=3, block_prefix=1, max_block=cap
+    ).toPandas()
+    uncapped = surface_similarity_edges(
+        surfaces, max_distance=3, block_prefix=1
+    ).toPandas()
+    assert len(capped) <= cap * (cap - 1) // 2
+    assert len(uncapped) > len(capped)  # the cap actually bit
+    cap_set = set(map(tuple, capped.to_numpy()))
+    unc_set = set(map(tuple, uncapped.to_numpy()))
+    assert cap_set <= unc_set
+
+
+def test_banded_blocking_equals_prefix_only_result(spark):
+    """(prefix, length-band) blocking returns EXACTLY the prefix-only
+    result — the levenshtein filter subsumes the band restriction
+    (lev >= |len diff|, band width = max_distance + 1)."""
+    words = [
+        "line", "lines", "liner", "lining", "linear", "l", "lin",
+        "record", "records", "recorder", "rec", "row", "rows",
+    ]
+    surfaces = spark.createDataFrame([(w,) for w in words], "surface string")
+    got = surface_similarity_edges(surfaces, max_distance=3, block_prefix=1)
+    got_set = set(map(tuple, got.toPandas().to_numpy()))
+    import duckdb
+
+    vals = ", ".join(f"('{w}')" for w in words)
+    want = duckdb.sql(
+        f"""
+        WITH s(surface) AS (VALUES {vals})
+        SELECT a.surface, b.surface FROM s a JOIN s b
+        ON substr(a.surface,1,1) = substr(b.surface,1,1)
+           AND a.surface < b.surface
+        WHERE levenshtein(a.surface, b.surface) <= 3"""
+    ).fetchall()
+    assert got_set == set(want)
+
+
+def test_embedding_neardup_bucket_cap_invariant(spark):
+    """With max_bucket set, every emitted pair's endpoints are cap
+    survivors (the max_bucket smallest vec_ids of their sign bucket)."""
+    cap = 3
+    out = dedup.embedding_neardup(spark, SF_DIR, max_bucket=cap).toPandas()
+    assert len(out) <= dedup.NEARDUP_TOP_PAIRS
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select(
+            "vec_id",
+            dedup._sign_bucket(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("bucket"),
+        )
+        .toPandas()
+    )
+    survivors = set(
+        emb.sort_values(["bucket", "vec_id"])
+        .groupby("bucket")
+        .head(cap)["vec_id"]
+    )
+    assert set(out["vec_a"]) <= survivors and set(out["vec_b"]) <= survivors
