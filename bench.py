@@ -60,7 +60,18 @@ def main() -> None:
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
+    def gc_pause():
+        # single-JVM measurement hygiene: the big pipeline jobs leave the
+        # shared heap full of collectable shuffle/Arrow garbage, and the
+        # next query pays its full-GC bill (measured: neardup 45s dirty vs
+        # 6.7s after System.gc()). Separate executors on a real cluster
+        # don't share a heap across jobs — collect between measurements so
+        # each query is timed, not the previous job's garbage.
+        spark._jvm.System.gc()
+        time.sleep(1)
+
     def timed(name, fn):
+        gc_pause()
         t = time.time()
         fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t, 3)
@@ -71,6 +82,26 @@ def main() -> None:
     timed("ss_bruteforce_topk", simsearch.bruteforce_topk)
     timed("rel_pricing_summary", relational.pricing_summary)
     timed("rel_revenue_by_nation", relational.revenue_by_nation)
+
+    # cold/warm latency analog (reference bench/coldWarmLatency.py:34-66):
+    # same query twice in one session — first pays plan compilation +
+    # scan-cache misses, repeat measures the steady-state path
+    gc_pause()
+    t0 = time.time()
+    simsearch.lsh_topk(spark, sf_dir).count()
+    cold = round(time.time() - t0, 3)
+    t0 = time.time()
+    simsearch.lsh_topk(spark, sf_dir).count()
+    warm = round(time.time() - t0, 3)
+
+    # top-k sensitivity sweep (reference bench/topKSensitivity.py:36-42):
+    # TakeOrderedAndProject keeps a k-heap per partition, so the curve
+    # should be flat in k (the round-1 global-Window version was not)
+    topk_sweep = {}
+    for k in (5, 10, 20, 40, 80, 160, 320):
+        t0 = time.time()
+        simsearch.bruteforce_topk(spark, sf_dir, k=k).count()
+        topk_sweep[str(k)] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -86,6 +117,8 @@ def main() -> None:
                 "replicate": rep,
                 "triples_per_sec_scaled": stats_rep["triples_per_sec"],
                 "edges_total_scaled": stats_rep["edges_total"],
+                "cold_warm": {"cold": cold, "warm": warm},
+                "topk_sweep": topk_sweep,
                 "cpus": cpus,
             }
         )

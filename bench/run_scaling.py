@@ -81,15 +81,32 @@ def main() -> None:
     p.add_argument("--cost", type=int, default=7000)
     p.add_argument("--low", type=int, default=2)
     p.add_argument("--high", type=int, default=8)
+    p.add_argument(
+        "--runs",
+        type=int,
+        default=3,
+        help="runs per configuration; the gate uses the MEDIAN throughput "
+        "(round-1 disclosed 10-15%% run-to-run spread on this shared VM)",
+    )
     args = p.parse_args()
 
     results: dict[str, dict[int, dict]] = {}
     for regime, cost in (("raw", 0), ("weighted", args.cost)):
         results[regime] = {}
         for cores in (args.low, args.high):
-            stats = run_once(args.sf_dir, cores, args.replicate, cost)
+            runs = [
+                run_once(args.sf_dir, cores, args.replicate, cost)
+                for _ in range(args.runs)
+            ]
+            tps = sorted(r["triples_per_sec"] for r in runs)
+            median = tps[len(tps) // 2]
+            stats = dict(
+                next(r for r in runs if r["triples_per_sec"] == median)
+            )
+            stats["triples_per_sec_runs"] = tps
+            stats["triples_per_sec"] = median
             results[regime][cores] = stats
-            print(f"{regime} local[{cores}]: {stats}")
+            print(f"{regime} local[{cores}] median of {args.runs}: {stats}")
 
     def eff(regime: str) -> tuple[float, float, float]:
         lo = results[regime][args.low]["triples_per_sec"]
@@ -113,6 +130,9 @@ bucketed materialize) in fresh JVMs at local[{args.low}] vs
 local[{args.high}] on the same input ({args.sf_dir} tiled
 x{args.replicate} = {edges:,} edges), shuffle partitions scaled 2x cores,
 heap scaled with cores (as executors would bring), single commit group.
+Each configuration runs {args.runs}x; the gate uses the MEDIAN
+throughput per configuration (all runs in the raw JSON below) to tame
+the 10-15% run-to-run spread this shared VM shows.
 
 Two regimes, identical outputs:
 

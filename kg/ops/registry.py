@@ -53,6 +53,8 @@ def ops_queries() -> dict[str, QueryFn]:
         "rel_filter_projection": relational.filter_projection,
         "rel_anti_join": relational.customers_without_orders,
         "rel_semi_join": relational.suppliers_with_orders,
+        "rel_sessionize": relational.sessionize,
+        "rel_value_percentiles": relational.value_percentiles,
     }
 
 
@@ -89,4 +91,6 @@ def ops_oracles() -> dict[str, str]:
         "rel_filter_projection": relational.filter_projection_sql(),
         "rel_anti_join": relational.customers_without_orders_sql(),
         "rel_semi_join": relational.suppliers_with_orders_sql(),
+        "rel_sessionize": relational.sessionize_sql(),
+        "rel_value_percentiles": relational.value_percentiles_sql(),
     }

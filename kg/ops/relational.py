@@ -232,6 +232,95 @@ SELECT s_suppkey, s_name FROM supplier
 WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)"""
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events stream — the canonical
+    training-data-pipeline windowing op the reference lacks (its closest
+    analog is the rolling latency window, ``api/main.py:66-77``). A new
+    session starts when a user is idle > 30 min; per-session rollup.
+
+    Scale shape: everything is a PARTITIONED window on user_id (shuffle
+    once on the user key, no global ordering anywhere) + one groupBy on
+    (user_id, session_seq) that reuses the same partitioning. Gap math is
+    exact int64 microseconds (identical in Spark/DuckDB).
+    Output (user_id, session_seq, n_events, start_ts, end_ts,
+    duration_us, total_value).
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; session TZ is pinned UTC, so the cast interprets
+    # naive == UTC — exactly DuckDB's epoch_us on a naive timestamp
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    new_s = (
+        prev_us.isNull() | ((us - prev_us) > SESSION_GAP_US)
+    ).cast("int")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = ev.select(
+        "user_id", "ts", "event_id", "value", us.alias("us"), new_s.alias("new_s")
+    )
+    sess = flagged.withColumn("session_seq", F.sum("new_s").over(run))
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+    )
+
+
+def sessionize_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_us
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+sess AS (
+  SELECT *, sum(new_s) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts,
+       max(us) - min(us) AS duration_us,
+       CAST(sum(CAST(value AS decimal(18,4))) AS double) AS total_value
+FROM sess GROUP BY user_id, session_seq"""
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per type (the
+    distribution-profiling agg a data-quality pass needs). Exact
+    ``percentile`` (sort-based) rather than approx sketches so the DuckDB
+    ``quantile_cont`` oracle matches bit-for-bit; at 100 TB swap in
+    ``approx_percentile`` (t-digest, no global sort) where 4-dp exactness
+    isn't contractual. Output (event_type, p50, p95)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+    )
+
+
+def value_percentiles_sql() -> str:
+    return """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95
+FROM events GROUP BY event_type"""
+
+
 def filter_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/F3/F5 analog: required-field + length-bounds filter and derived
     projection over documents."""

@@ -115,16 +115,19 @@ def _ranked_topk(scored: DataFrame, k: int = TOP_K) -> DataFrame:
     )
 
 
-def bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bruteforce_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     """Exact top-k: (vec_id, rank, cos). One scan, per-row literal dot,
-    parallel top-k — no joins, no shuffles before the final k-row merge."""
+    parallel top-k — no joins, no shuffles before the final k-row merge.
+    ``k`` is the sensitivity dial (reference ``bench/topKSensitivity.py``:
+    k∈{5..320}); cost is flat in k because TakeOrderedAndProject keeps a
+    size-k heap per partition instead of globally sorting."""
     qv = _small_vecs(spark, sf_dir)[QUERY_VEC_ID]
     scored = (
         _emb(spark, sf_dir)
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .withColumn("cos", F.round(_dot_lit(F.col("v"), qv), 4))
     )
-    return _ranked_topk(scored)
+    return _ranked_topk(scored, k)
 
 
 def bruteforce_topk_sql() -> str:

@@ -198,6 +198,12 @@ def main() -> None:
         action="store_true",
         help="commit every stage's output in resumable partition groups",
     )
+    p.add_argument(
+        "--validate",
+        action="store_true",
+        help="run the output-validation report after the write "
+        "(reference validate_data.py analog); nonzero exit on red checks",
+    )
     args = p.parse_args()
 
     spark = get_spark(
@@ -219,6 +225,11 @@ def main() -> None:
             replicate=args.replicate,
             checkpoint_stages=args.checkpoint_stages,
         )
+        if args.validate:
+            from kg.validate import assert_valid
+
+            assert_valid(spark, args.out, n_buckets=args.n_buckets)
+            stats["validated"] = True
         print(json.dumps(stats))
     finally:
         spark.stop()

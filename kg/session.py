@@ -80,6 +80,11 @@ def get_spark(
             .config("spark.executor.memory", os.environ.get("KG_EXECUTOR_MEM", "12g"))
             .config("spark.cores.max", str(cores or 8))
         )
+    # Iceberg routing (north rule: Iceberg tables): configured iff the
+    # runtime jar is present — a no-op probe otherwise (kg/iceberg.py)
+    from kg.iceberg import configure_builder
+
+    b = configure_builder(b, os.environ.get("KG_WAREHOUSE", "/tmp/kg-warehouse"))
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

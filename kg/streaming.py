@@ -65,7 +65,10 @@ def stream_extract_triples(
 
 
 def stateful_dedup_stream(
-    docs_stream: DataFrame, out_dir: str, checkpoint_dir: str
+    docs_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    state_ttl_minutes: int | None = None,
 ):
     """Custom stateful operator: first-wins document dedup ACROSS
     micro-batches (the streaming twin of SURVEY §2.4 D2, whose batch form
@@ -74,27 +77,51 @@ def stateful_dedup_stream(
     state; only the first arrival is emitted, duplicates in later batches
     are dropped. State lives in the checkpoint, so a restarted stream
     still remembers what it emitted.
+
+    ``state_ttl_minutes`` bounds state for CONTINUOUS streams: with a TTL,
+    each key's 'seen' marker expires ``state_ttl_minutes`` after its last
+    arrival (ProcessingTimeTimeout + ``setTimeoutDuration``; expired keys
+    are removed on timeout), so state size tracks the recent-key working
+    set instead of growing with every doc_id ever seen. The dedup
+    guarantee weakens accordingly — exact within the TTL horizon — which
+    is the standard at-scale trade (a 10^12-doc stream cannot keep 10^12
+    markers). None (default, right for availableNow backfills) keeps
+    exact all-time dedup.
     """
     import pandas as _pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = "doc_id BIGINT, text STRING"
     state_schema = "seen BOOLEAN"
+    ttl_ms = int(state_ttl_minutes * 60_000) if state_ttl_minutes else None
 
     def _dedup(key, pdfs, state: GroupState):
-        batch = _pd.concat(list(pdfs), ignore_index=True)
-        if state.exists:
-            yield batch.iloc[0:0]
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield _pd.DataFrame(
+                {"doc_id": _pd.Series(dtype="int64"), "text": _pd.Series(dtype="object")}
+            )
             return
+        batch = _pd.concat(list(pdfs), ignore_index=True)
+        fresh = not state.exists
         state.update((True,))
-        yield batch.sort_values("doc_id").head(1)
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)  # refresh on every arrival
+        # intra-batch survivor must be deterministic too: micro-batch row
+        # order is not — sort on every column before taking the first
+        survivor = batch.sort_values(list(batch.columns)).head(1)
+        yield survivor if fresh else batch.iloc[0:0]
 
     deduped = docs_stream.groupBy("doc_id").applyInPandasWithState(
         _dedup,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
     return (
         deduped.writeStream.format("parquet")

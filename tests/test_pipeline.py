@@ -72,3 +72,27 @@ def test_resume_after_kill_produces_identical_output(spark, tmp_path):
     # second rerun is a no-op
     stats2 = run_pipeline(spark, SF_DIR, out_killed)
     assert stats2["edges_written_this_run"] == 0
+
+
+def test_resume_with_changed_n_groups_is_safe(spark, tmp_path):
+    """ADVICE round 1: group id g means 'group_col % n_groups == g', so a
+    resume under a DIFFERENT modulus must not reuse commits (silent data
+    loss) nor double-read stale part_group dirs. n_groups is part of the
+    lineage and uncommitted-under-this-lineage dirs are swept, so a
+    modulus change degrades to a clean full rewrite."""
+    out = str(tmp_path / "modchange")
+    out_ref = str(tmp_path / "ref")
+    with pytest.raises(InjectedFailure):
+        run_pipeline(spark, SF_DIR, out, n_groups=8, fail_after_groups=3)
+    # resume with a SMALLER modulus: old groups 0-2 (mod 8) must not be
+    # trusted as groups 0-2 (mod 4)
+    stats = run_pipeline(spark, SF_DIR, out, n_groups=4)
+    assert stats["edges_written_this_run"] > 0
+    run_pipeline(spark, SF_DIR, out_ref, n_groups=4)
+    a = spark.read.parquet(f"{out}/edges").select(
+        "subj_id", "pred", "obj_id", "doc_id", "offset"
+    )
+    b = spark.read.parquet(f"{out_ref}/edges").select(
+        "subj_id", "pred", "obj_id", "doc_id", "offset"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

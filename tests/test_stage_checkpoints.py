@@ -57,3 +57,22 @@ def test_stateful_streaming_dedup(spark, tmp_path):
     assert got.count() == 4
     assert {r.doc_id for r in got.collect()} == {1, 2, 3, 4}
     assert got.filter(F.col("text").contains("dup")).count() == 0
+
+
+def test_stateful_streaming_dedup_with_ttl(spark, tmp_path):
+    """TTL-bounded state (continuous-mode config): same first-wins result
+    within the TTL horizon; exercises the ProcessingTimeTimeout path."""
+    from kg.streaming import stateful_dedup_stream
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b-dup")], "doc_id long, text string"
+    ).write.parquet(in_dir)
+    src = spark.readStream.schema("doc_id long, text string").parquet(in_dir)
+    q = stateful_dedup_stream(src, out_dir, ckpt, state_ttl_minutes=30)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 2
+    assert got.filter(F.col("text").contains("dup")).count() == 0
