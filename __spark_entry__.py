@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": Q.q_edges,
         "kg_nodes": Q.q_nodes,
         "kg_top_entities": Q.q_top_entities,
+        "kg_top_entities_fused": Q.q_top_entities_fused,
         "kg_similarity_edges": Q.q_similarity_edges,
         "kg_pred_hist": Q.q_pred_hist,
         "kg_doc_media": Q.q_doc_media,
@@ -64,6 +65,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges": oracles.edges_sql(),
         "kg_nodes": oracles.nodes_sql(),
         "kg_top_entities": oracles.top_entities_sql(),
+        "kg_top_entities_fused": oracles.top_entities_sql(),
         "kg_similarity_edges": oracles.similarity_edges_sql(),
         "kg_pred_hist": oracles.pred_hist_sql(),
         "kg_doc_media": oracles.doc_media_sql(),

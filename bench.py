@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from kg.ops import dedup, relational, simsearch  # noqa: E402
 from kg.pipeline import run_pipeline  # noqa: E402
-from kg.queries import q_top_entities  # noqa: E402
+from kg.queries import q_top_entities, q_top_entities_fused  # noqa: E402
 from kg.session import get_spark  # noqa: E402
 
 
@@ -77,6 +77,7 @@ def main() -> None:
         timings[name] = round(time.time() - t, 3)
 
     timed("kg_top_entities", q_top_entities)
+    timed("kg_top_entities_fused", q_top_entities_fused)
     timed("dd_neardup_pairs", dedup.neardup_pairs)
     timed("dd_exact_survivors", dedup.exact_survivors)
     timed("ss_bruteforce_topk", simsearch.bruteforce_topk)

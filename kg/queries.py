@@ -61,9 +61,9 @@ def q_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_nodes(triples_surface, canon, edges)
 
 
-def q_top_entities(spark: SparkSession, sf_dir: str, limit: int = 20) -> DataFrame:
-    """Flagship: most-mentioned canonical concepts."""
-    edges = q_edges(spark, sf_dir)
+def _top_entities_from_edges(
+    spark: SparkSession, edges: DataFrame, limit: int
+) -> DataFrame:
     canon_names = (
         canonical_map(spark).select("canonical_id", "canonical_name").distinct()
     )
@@ -84,6 +84,29 @@ def q_top_entities(spark: SparkSession, sf_dir: str, limit: int = 20) -> DataFra
         .select(F.col("canonical_name").alias("name"), "n_mentions")
         .orderBy(F.desc("n_mentions"), F.asc("name"))
         .limit(limit)
+    )
+
+
+def q_top_entities(spark: SparkSession, sf_dir: str, limit: int = 20) -> DataFrame:
+    """Flagship: most-mentioned canonical concepts (native-expression
+    extraction path)."""
+    return _top_entities_from_edges(spark, q_edges(spark, sf_dir), limit)
+
+
+def q_top_entities_fused(
+    spark: SparkSession, sf_dir: str, limit: int = 20
+) -> DataFrame:
+    """Flagship through the fused Arrow kernel — the at-scale extraction
+    configuration (kg/fused.py); same oracle as kg_top_entities (the two
+    extraction paths are output-identical, asserted in tests/test_fused.py
+    and by this query sharing kg_top_entities' oracle SQL)."""
+    from kg.fused import fused_extract_triples
+
+    triples = fused_extract_triples(spark, sf_dir)
+    canon = canonical_map(spark)
+    final = canonicalize_triples(link_triples(triples, alias_dict(spark)), canon)
+    return _top_entities_from_edges(
+        spark, final.select("subj_id", "pred", "obj_id", "doc_id", "offset"), limit
     )
 
 
