@@ -42,6 +42,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_similarity_edges": Q.q_similarity_edges,
         "kg_pred_hist": Q.q_pred_hist,
         "kg_doc_media": Q.q_doc_media,
+        "kg_degree_hist": Q.q_degree_hist,
+        "kg_two_hop": Q.q_two_hop,
     }
     try:
         from kg.ops.registry import ops_queries
@@ -69,6 +71,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_similarity_edges": oracles.similarity_edges_sql(),
         "kg_pred_hist": oracles.pred_hist_sql(),
         "kg_doc_media": oracles.doc_media_sql(),
+        "kg_degree_hist": oracles.degree_hist_sql(),
+        "kg_two_hop": oracles.two_hop_sql(),
     }
     try:
         from kg.ops.registry import ops_oracles

@@ -95,6 +95,33 @@ def main() -> None:
     simsearch.lsh_topk(spark, sf_dir).count()
     warm = round(time.time() - t0, 3)
 
+    # concurrent-workload analog (reference bench/workloadTest.py:39-55
+    # drives constant RPS against the serving API; here: 8 client threads
+    # saturating the session with the LSH query for ~8 s — Spark's
+    # FIFO scheduler interleaves the small jobs across cores)
+    import statistics
+    from concurrent.futures import ThreadPoolExecutor
+
+    gc_pause()
+    lat: list[float] = []
+
+    def one_query() -> float:
+        t = time.time()
+        simsearch.lsh_topk(spark, sf_dir).count()
+        return time.time() - t
+
+    deadline = time.time() + 8.0
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        while time.time() < deadline:
+            lat.extend(pool.map(lambda _: one_query(), range(8)))
+    lat.sort()
+    workload = {
+        "n_queries": len(lat),
+        "qps": round(len(lat) / 8.0, 1),
+        "p50_ms": round(1000 * statistics.median(lat), 1),
+        "p95_ms": round(1000 * lat[int(0.95 * (len(lat) - 1))], 1),
+    }
+
     # top-k sensitivity sweep (reference bench/topKSensitivity.py:36-42):
     # TakeOrderedAndProject keeps a k-heap per partition, so the curve
     # should be flat in k (the round-1 global-Window version was not)
@@ -119,6 +146,7 @@ def main() -> None:
                 "triples_per_sec_scaled": stats_rep["triples_per_sec"],
                 "edges_total_scaled": stats_rep["edges_total"],
                 "cold_warm": {"cold": cold, "warm": warm},
+                "workload": workload,
                 "topk_sweep": topk_sweep,
                 "cpus": cpus,
             }

@@ -211,6 +211,29 @@ WHERE levenshtein(a.surface, b.surface) <= {max_distance}"""
     )
 
 
+def degree_hist_sql() -> str:
+    """Out-degree distribution over the canonical edges."""
+    return (
+        edges_sql().replace("SELECT * FROM edges", "")
+        + """,
+deg AS (SELECT subj_id, count(*) AS out_degree FROM edges GROUP BY subj_id)
+SELECT out_degree, count(*) AS n_nodes FROM deg GROUP BY out_degree"""
+    )
+
+
+def two_hop_sql() -> str:
+    """Distinct 2-hop (a,b,c) chains over concept-concept edges."""
+    return (
+        edges_sql().replace("SELECT * FROM edges", "")
+        + """,
+cpairs AS (
+  SELECT DISTINCT subj_id, obj_id FROM edges WHERE pred NOT LIKE 'has_%'
+)
+SELECT DISTINCT p1.subj_id AS a, p1.obj_id AS b, p2.obj_id AS c
+FROM cpairs p1 JOIN cpairs p2 ON p1.obj_id = p2.subj_id"""
+    )
+
+
 def pred_hist_sql() -> str:
     return (
         _TRIPLES_CTE

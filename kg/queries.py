@@ -125,6 +125,35 @@ def q_similarity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surface_similarity_edges(surfaces, max_distance=3, block_prefix=1)
 
 
+def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph profiling: out-degree distribution of the edges table —
+    (out_degree, n_nodes). Two cheap aggregations; the first groupBy
+    reuses the subject-hash bucketing of the materialized table at scale."""
+    edges = q_edges(spark, sf_dir)
+    deg = edges.groupBy("subj_id").agg(F.count("*").alias("out_degree"))
+    return deg.groupBy("out_degree").agg(F.count("*").alias("n_nodes"))
+
+
+def q_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop concept neighborhood: distinct (a, b, c) with a→b→c over
+    concept-concept edges (media attachment edges excluded).
+
+    Scale shape: project to DISTINCT (subj_id, obj_id) FIRST — bounded by
+    the entity vocabulary squared, not the corpus — then self-join; on
+    the bucketed edges table that join is bucket-co-located (see
+    tests/test_bucketed.py for the shuffle-free evidence)."""
+    edges = q_edges(spark, sf_dir).filter(~F.col("pred").startswith("has_"))
+    pairs = edges.select("subj_id", "obj_id").distinct()
+    e2 = pairs.select(
+        F.col("subj_id").alias("b"), F.col("obj_id").alias("c")
+    )
+    return (
+        pairs.join(e2, pairs.obj_id == e2.b)
+        .select(F.col("subj_id").alias("a"), F.col("obj_id").alias("b"), "c")
+        .distinct()
+    )
+
+
 def q_pred_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         q_triples_surface(spark, sf_dir)
