@@ -129,9 +129,9 @@ def connected_components(
     return labels
 
 
-def _driver_cc(
-    spark: SparkSession, sym_pairs: list[tuple[str, str]], max_component: int | None
-) -> DataFrame:
+def _driver_cc_rows(
+    sym_pairs: list[tuple[str, str]], max_component: int | None
+) -> list[tuple[str, int]]:
     """Union-find closure on the driver; same (node, label) contract as the
     distributed loop (label = min id64 over the component, capped
     components revert to singletons)."""
@@ -161,7 +161,15 @@ def _driver_cc(
         else:
             label = min(py_id64(m) for m in members)
             rows.extend((m, label) for m in members)
-    return spark.createDataFrame(sorted(rows), "node string, label long")
+    return sorted(rows)
+
+
+def _driver_cc(
+    spark: SparkSession, sym_pairs: list[tuple[str, str]], max_component: int | None
+) -> DataFrame:
+    return spark.createDataFrame(
+        _driver_cc_rows(sym_pairs, max_component), "node string, label long"
+    )
 
 
 _CANON_CACHE: dict[int, list] = {}
@@ -231,43 +239,69 @@ def canonical_map(spark: SparkSession, max_component: int | None = 1000) -> Data
     label (i.e. argmin id64). Surfaces with no alias edges are their own
     canonical entity.
 
-    The map depends only on the alias dictionary (not the corpus), so the
-    distributed CC result is computed once per session, collected (it is
-    dictionary-sized), and replayed as a literal DataFrame afterwards.
+    The map depends only on the alias dictionary (not the corpus) and is
+    dictionary-sized by definition — so this is exactly the driver fast
+    path of :func:`connected_components`, applied without any DataFrame
+    round-trips (launching Spark jobs for ~20 literal rows cost a flat
+    ~2 s of per-session fixed overhead). The distributed iterative loop
+    is the corpus-scale path — see :func:`canonical_map_from_corpus` and
+    the distributed-vs-driver equality tests in tests/test_canonicalize.py.
     """
     key = id(spark)
-    if key in _CANON_CACHE:
-        return spark.createDataFrame(
-            _CANON_CACHE[key], "surface string, canonical_id long, canonical_name string"
-        )
-    out = _canonical_map_cc(spark, max_component)
-    _CANON_CACHE[key] = [
-        (r.surface, r.canonical_id, r.canonical_name)
-        for r in out.select("surface", "canonical_id", "canonical_name").collect()
-    ]
-    return canonical_map(spark, max_component)
+    if key not in _CANON_CACHE:
+        _CANON_CACHE[key] = _canonical_map_rows(max_component)
+    return spark.createDataFrame(
+        _CANON_CACHE[key], "surface string, canonical_id long, canonical_name string"
+    )
 
 
-def _canonical_map_cc(spark: SparkSession, max_component: int | None) -> DataFrame:
-    pairs = [(s, t) for s, t in alias_pairs() if s != t]
-    edges = spark.createDataFrame(pairs, "src string, dst string")
-    # the alias graph is tiny (bounded by the dictionary, not the corpus):
-    # run the iterative loop on one partition
-    labels = connected_components(edges, max_component=max_component, n_partitions=1)
-    # label -> canonical member name
+def _canonical_map_rows(max_component: int | None) -> list[tuple[str, int, str]]:
+    from kg.ids import py_id64
+
+    sym = [(s, t) for s, t in alias_pairs() if s != t]
+    labels = dict(_driver_cc_rows(sym + [(t, s) for s, t in sym], max_component))
+    by_id = {py_id64(n): n for n in labels}
+    rows = []
+    for surface, _ in alias_pairs():
+        label = labels.get(surface, py_id64(surface))
+        name = by_id.get(label, surface) if surface in labels else surface
+        rows.append((surface, py_id64("ent:" + name), name))
+    return sorted(rows)
+
+
+def canonical_map_from_corpus(
+    surfaces: DataFrame,
+    max_distance: int = 1,
+    block_prefix: int = 1,
+    max_component: int | None = None,
+    max_block: int | None = None,
+) -> DataFrame:
+    """North-star canonicalization: connected components over the
+    CORPUS-DERIVED surface-form similarity graph (no curated alias
+    dictionary) — blocked levenshtein self-join → iterative DataFrame
+    self-join CC with large-component capping → deterministic canonical
+    ids (min id64 member names the component).
+
+    Output (surface, canonical_id, canonical_name) covering EVERY input
+    surface (edge-less surfaces canonicalize to themselves). At corpus
+    scale the similarity graph exceeds the driver fastpath bound and the
+    distributed label-propagation loop runs; at test scale the fastpath
+    collects the dictionary-sized edge list (same labels, asserted in
+    tests)."""
+    s = surfaces.select(F.col("surface")).distinct()
+    edges = surface_similarity_edges(
+        s, max_distance=max_distance, block_prefix=block_prefix, max_block=max_block
+    )
+    labels = connected_components(edges, max_component=max_component)
     names = labels.filter(id64(F.col("node")) == F.col("label")).select(
         "label", F.col("node").alias("canonical_name")
     )
-    mapped = labels.join(names, "label").select(
+    mapped = labels.join(F.broadcast(names), "label").select(
         F.col("node").alias("surface"),
         id64(F.concat(F.lit("ent:"), F.col("canonical_name"))).alias("canonical_id"),
         "canonical_name",
     )
-    # identity rows for surfaces outside the alias graph
-    all_surfaces = spark.createDataFrame(
-        [(s, t) for s, t in alias_pairs()], "surface string, target string"
-    )
-    identity = all_surfaces.join(mapped, "surface", "left_anti").select(
+    identity = s.join(mapped, "surface", "left_anti").select(
         "surface",
         id64(F.concat(F.lit("ent:"), F.col("surface"))).alias("canonical_id"),
         F.col("surface").alias("canonical_name"),

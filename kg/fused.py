@@ -82,8 +82,23 @@ def fused_extract_triples(
             (F.col("doc_id") + F.col("_rep") * REPLICA_STRIDE).alias("doc_id"),
             "text",
         )
+    # Parallelism guard: a small input (or a crossJoin that inherits one
+    # scan partition) must be spread across the workers before the Python
+    # kernel. Decide from driver-side file sizes — probing
+    # flat.rdd.getNumPartitions() costs a ~1.3 s plan->RDD conversion per
+    # session. At real scale (total bytes >> threshold) the scan already
+    # has plenty of splits and no shuffle is added.
+    import os
+
     target = spark.sparkContext.defaultParallelism
-    if flat.rdd.getNumPartitions() < target:
+    try:
+        total_bytes = sum(
+            os.path.getsize(p.removeprefix("file:"))
+            for p in flat.inputFiles()
+        )
+    except OSError:  # non-local paths: fall back to the safe repartition
+        total_bytes = 0
+    if total_bytes < 1 << 30:
         flat = flat.repartition(target)
 
     return flat.mapInPandas(_run_batches, schema=TRIPLES_SURFACE)

@@ -35,6 +35,15 @@ def alias_dict(spark: SparkSession) -> DataFrame:
     return df.withColumn("target_id", id64(F.concat(F.lit("ent:"), F.col("target"))))
 
 
+def empty_alias_dict(spark: SparkSession) -> DataFrame:
+    """No-dictionary linking (corpus-canonicalization mode): every mention
+    takes :func:`link_triples`'s raw-surface fallback id, and stage 3's
+    corpus-similarity connected components does ALL the aliasing."""
+    return spark.createDataFrame(
+        [], "surface string, target string, target_id long"
+    )
+
+
 def link_triples(triples_surface: DataFrame, aliases: DataFrame) -> DataFrame:
     """TRIPLES_SURFACE -> TRIPLES_LINKED via broadcast dictionary joins.
 

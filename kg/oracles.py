@@ -211,6 +211,37 @@ WHERE levenshtein(a.surface, b.surface) <= {max_distance}"""
     )
 
 
+def canonical_map_corpus_sql(max_distance: int = 1, block_prefix: int = 1) -> str:
+    """Corpus-similarity canonicalization oracle: the connected-components
+    closure expressed as a DuckDB RECURSIVE CTE (reach(x, m) = m is in
+    x's component; label = member with min id64)."""
+    lbl = sql_id64("m")
+    return (
+        _TRIPLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+        + f""",
+surfaces AS (SELECT DISTINCT tok AS surface FROM tok),
+blocked AS (SELECT surface, substr(surface, 1, {block_prefix}) AS blk FROM surfaces),
+sim AS (
+  SELECT a.surface AS src, b.surface AS dst
+  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.surface < b.surface
+  WHERE levenshtein(a.surface, b.surface) <= {max_distance}
+),
+sym AS (SELECT src AS a, dst AS b FROM sim UNION SELECT dst, src FROM sim),
+reach(node, m) AS (
+  SELECT surface, surface FROM surfaces
+  UNION
+  SELECT s.b, r.m FROM reach r JOIN sym s ON s.a = r.node
+),
+named AS (
+  SELECT node AS surface, arg_min(m, {lbl}) AS canonical_name
+  FROM reach GROUP BY node
+)
+SELECT surface, {sql_id64("'ent:' || canonical_name")} AS canonical_id,
+       canonical_name
+FROM named"""
+    )
+
+
 def degree_hist_sql() -> str:
     """Out-degree distribution over the canonical edges."""
     return (

@@ -20,10 +20,14 @@ if __package__ in (None, ""):  # `python kg/pipeline.py` (no spark-submit --py-f
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kg.canonicalize import canonical_map, canonicalize_triples
+from kg.canonicalize import (
+    canonical_map,
+    canonical_map_from_corpus,
+    canonicalize_triples,
+)
 from kg.extract import extract_triples, extract_triples_pandas
 from kg.fused import fused_extract_triples
-from kg.link import alias_dict, link_triples
+from kg.link import alias_dict, empty_alias_dict, link_triples
 from kg.materialize import (
     build_nodes,
     build_nodes_from_edges,
@@ -37,11 +41,30 @@ from kg.session import get_spark
 from kg.synth import load_interleaved
 
 
+def _canon_for(
+    spark: SparkSession, triples_surface: DataFrame, canonicalize: str
+) -> DataFrame:
+    """Stage-3 canonical map: 'dict' = alias-dictionary closure (reference
+    parity, the P/R-gate mode); 'corpus' = connected components over the
+    corpus-derived surface-similarity graph (the north-star mode — no
+    curated dictionary needed)."""
+    if canonicalize == "corpus":
+        mentions = triples_surface.filter(F.col("subj_pos") >= 0)
+        surfaces = mentions.select(
+            F.explode(F.array("subj_surface", "obj_surface")).alias("surface")
+        )
+        return canonical_map_from_corpus(
+            surfaces, max_distance=1, block_prefix=1, max_component=1000
+        )
+    return canonical_map(spark)
+
+
 def build_edges(
     docs: DataFrame,
     spark: SparkSession,
     extractor: str = "sql",
     pandas_normalize: bool = False,
+    canonicalize: str = "dict",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Logical plan through stage 3. Returns (triples_surface, canon, edges)."""
     spans = normalize_spans(docs, use_pandas=pandas_normalize)
@@ -49,8 +72,11 @@ def build_edges(
         triples_surface = extract_triples_pandas(spans)
     else:
         triples_surface = extract_triples(spans)
-    linked = link_triples(triples_surface, alias_dict(spark))
-    canon = canonical_map(spark)
+    aliases = (
+        alias_dict(spark) if canonicalize == "dict" else empty_alias_dict(spark)
+    )
+    linked = link_triples(triples_surface, aliases)
+    canon = _canon_for(spark, triples_surface, canonicalize)
     final = canonicalize_triples(linked, canon)
     return triples_surface, canon, final
 
@@ -62,6 +88,7 @@ def run_pipeline(
     *,
     extractor: str = "sql",
     pandas_normalize: bool = False,
+    canonicalize: str = "dict",
     run_id: str | None = None,
     n_buckets: int = 64,
     n_groups: int = 4,
@@ -78,8 +105,8 @@ def run_pipeline(
     # cover the new residues) — a changed n_groups yields a fresh lineage
     # and materialize_partitioned sweeps the stale part_group dirs.
     lineage = (
-        f"sf_dir={sf_dir};extractor={extractor};buckets={n_buckets};"
-        f"groups={n_groups};rep={replicate}"
+        f"sf_dir={sf_dir};extractor={extractor};canon={canonicalize};"
+        f"buckets={n_buckets};groups={n_groups};rep={replicate}"
     )
     t0 = time.time()
     timing = os.environ.get("KG_TIMING") == "1"
@@ -117,8 +144,11 @@ def run_pipeline(
         triples_surface = _stage_ckpt(
             triples_surface, "stage_extract", ["doc_id", "offset", "subj_pos"]
         )
-        canon = canonical_map(spark)
-        linked = link_triples(triples_surface, alias_dict(spark))
+        canon = _canon_for(spark, triples_surface, canonicalize)
+        aliases = (
+            alias_dict(spark) if canonicalize == "dict" else empty_alias_dict(spark)
+        )
+        linked = link_triples(triples_surface, aliases)
         linked = _stage_ckpt(linked, "stage_link", ["doc_id", "offset", "subj_id"])
         final = canonicalize_triples(linked, canon)
         # NO .persist(): caching tens of millions of rows turns the JVM
@@ -131,7 +161,11 @@ def run_pipeline(
     else:
         docs = load_interleaved(spark, sf_dir, replicate=replicate)
         triples_surface, canon, final = build_edges(
-            docs, spark, extractor=extractor, pandas_normalize=pandas_normalize
+            docs,
+            spark,
+            extractor=extractor,
+            pandas_normalize=pandas_normalize,
+            canonicalize=canonicalize,
         )
         # the stagewise JVM path is expensive to recompute; cache it (small
         # SFs only — the fused path is the at-scale configuration)
@@ -185,6 +219,13 @@ def main() -> None:
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p.add_argument("--out", required=True)
     p.add_argument("--extractor", choices=["sql", "pandas", "fused"], default="sql")
+    p.add_argument(
+        "--canonicalize",
+        choices=["dict", "corpus"],
+        default="dict",
+        help="stage-3 mode: alias-dictionary closure (reference parity) or "
+        "connected components over the corpus-derived similarity graph",
+    )
     p.add_argument("--pandas-normalize", action="store_true")
     p.add_argument("--cores", type=int, default=None)
     p.add_argument("--n-buckets", type=int, default=64)
@@ -219,6 +260,7 @@ def main() -> None:
             args.out,
             extractor=args.extractor,
             pandas_normalize=args.pandas_normalize,
+            canonicalize=args.canonicalize,
             run_id=args.run_id,
             n_buckets=args.n_buckets,
             n_groups=args.n_groups,

@@ -125,6 +125,21 @@ def q_similarity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surface_similarity_edges(surfaces, max_distance=3, block_prefix=1)
 
 
+def q_canonical_map_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star canonicalization mode: connected components over the
+    corpus-derived surface-similarity graph (blocked levenshtein<=1), no
+    curated dictionary. Covers every observed mention surface."""
+    from kg.canonicalize import canonical_map_from_corpus
+
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
+    surfaces = (
+        q_spans_norm(spark, sf_dir)
+        .filter(F.col("kind") == "text")
+        .select(F.explode(toks).alias("surface"))
+    )
+    return canonical_map_from_corpus(surfaces, max_distance=1, block_prefix=1)
+
+
 def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph profiling: out-degree distribution of the edges table —
     (out_degree, n_nodes). Two cheap aggregations; the first groupBy

@@ -50,3 +50,27 @@ def test_canonical_map_matches_closure(spark, duck):
     closure = canonical_closure()
     rows = {r.surface: r.canonical_name for r in cm.collect()}
     assert rows == closure
+
+
+def test_corpus_canonicalization_pipeline(spark, tmp_path):
+    """--canonicalize corpus: CC over the corpus similarity graph replaces
+    the curated dictionary end-to-end; output is deterministic and passes
+    the validation report (incl. mention-count consistency)."""
+    from kg.pipeline import run_pipeline
+    from kg.validate import assert_valid
+    from tests.conftest import SF_DIR
+
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    sa = run_pipeline(spark, SF_DIR, out_a, extractor="fused", canonicalize="corpus")
+    sb = run_pipeline(spark, SF_DIR, out_b, extractor="sql", canonicalize="corpus")
+    assert_valid(spark, out_a)
+    a = spark.read.parquet(f"{out_a}/edges").select(
+        "subj_id", "pred", "obj_id", "doc_id", "offset"
+    )
+    b = spark.read.parquet(f"{out_b}/edges").select(
+        "subj_id", "pred", "obj_id", "doc_id", "offset"
+    )
+    # fused and sql extractors agree under corpus canonicalization too
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert sa["edges_total"] == sb["edges_total"] > 0
