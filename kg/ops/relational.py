@@ -248,7 +248,12 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output (user_id, session_seq, n_events, start_ts, end_ts,
     duration_us, total_value).
     """
-    ev = _t(spark, sf_dir, "events")
+    return sessionize_df(_t(spark, sf_dir, "events"))
+
+
+def sessionize_df(ev: DataFrame) -> DataFrame:
+    """Sessionize any (user_id, event_id, ts, value) frame — see
+    :func:`sessionize` for semantics and scale notes."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # ts is TIMESTAMP_NTZ; session TZ is pinned UTC, so the cast interprets
     # naive == UTC — exactly DuckDB's epoch_us on a naive timestamp

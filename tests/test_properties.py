@@ -74,6 +74,55 @@ _tokens = st.lists(
 )
 
 
+def test_sessionization_invariants(spark):
+    """Generated event streams: sessions partition the events exactly,
+    intra-session consecutive gaps are <= 30 min and a new session only
+    starts after a > 30 min gap (checked against a pure-Python fold)."""
+    import datetime as dt
+
+    from kg.ops.relational import SESSION_GAP_US, sessionize_df
+
+    gaps = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # user id
+            st.integers(min_value=0, max_value=90 * 60 * 1_000_000),  # gap µs
+        ),
+        min_size=1,
+        max_size=120,
+    )
+
+    @given(gaps)
+    @settings(max_examples=20, deadline=None)
+    def prop(pairs):
+        base = dt.datetime(2024, 1, 1)
+        clock = {u: base for u in {p[0] for p in pairs}}
+        rows = []
+        for i, (u, gap) in enumerate(pairs):
+            clock[u] = clock[u] + dt.timedelta(microseconds=gap)
+            rows.append((i, clock[u], u, float(i)))
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp_ntz, user_id long, value double"
+        )
+        got = sessionize_df(df).collect()
+        # python reference fold
+        want: dict[tuple[int, int], int] = {}
+        for u in {r[2] for r in rows}:
+            evs = sorted((r[1], r[0]) for r in rows if r[2] == u)
+            seq, prev = 0, None
+            for ts, _eid in evs:
+                if prev is None or (ts - prev) > dt.timedelta(
+                    microseconds=SESSION_GAP_US
+                ):
+                    seq += 1
+                want[(u, seq)] = want.get((u, seq), 0) + 1
+                prev = ts
+        got_counts = {(r.user_id, r.session_seq): r.n_events for r in got}
+        assert got_counts == want
+        assert sum(got_counts.values()) == len(rows)
+
+    prop()
+
+
 def test_extraction_invariants():
     @given(st.lists(_tokens, min_size=1, max_size=50))
     @settings(max_examples=50, deadline=None)
