@@ -37,3 +37,29 @@ def test_stream_matches_batch_and_resumes(spark, tmp_path):
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_incremental_kg_equals_batch(spark, tmp_path):
+    """Full incremental KG construction (extract+link+canonicalize per
+    micro-batch via foreachBatch) over two drops equals the batch
+    pipeline's edges."""
+    from kg.pipeline import run_pipeline
+    from kg.streaming import stream_kg_edges
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "edges_stream")
+    ckpt = str(tmp_path / "ckpt2")
+
+    flat = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    flat.filter(F.col("doc_id") < 250).write.parquet(in_dir)
+    stream_kg_edges(spark, in_dir, out_dir, ckpt).awaitTermination(300)
+    flat.filter(F.col("doc_id") >= 250).write.mode("append").parquet(in_dir)
+    stream_kg_edges(spark, in_dir, out_dir, ckpt).awaitTermination(300)
+
+    batch_out = str(tmp_path / "batch")
+    run_pipeline(spark, SF_DIR, batch_out, extractor="fused")
+    got = spark.read.parquet(out_dir)
+    want = spark.read.parquet(f"{batch_out}/edges").select(
+        "subj_id", "pred", "obj_id", "doc_id", "offset"
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
