@@ -24,10 +24,30 @@ from kg.queries import q_top_entities, q_top_entities_fused  # noqa: E402
 from kg.session import get_spark  # noqa: E402
 
 
+def _steal_sample() -> float | None:
+    """Hypervisor steal %: this shared VM sees 0-47% steal waves that can
+    inflate multi-core walls 2-4x (measured). Sampled into the bench JSON
+    so a polluted run is identifiable instead of misread as a regression."""
+    try:
+        def snap():
+            with open("/proc/stat") as f:
+                parts = f.readline().split()
+            vals = list(map(int, parts[1:]))
+            return sum(vals), vals[7]  # total, steal
+
+        t0, s0 = snap()
+        time.sleep(1.0)
+        t1, s1 = snap()
+        return round(100.0 * (s1 - s0) / max(1, t1 - t0), 1)
+    except (OSError, IndexError, ValueError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    steal_before = _steal_sample()
 
     spark = get_spark(app="kg-bench", cores=cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -148,6 +168,7 @@ def main() -> None:
                 "cold_warm": {"cold": cold, "warm": warm},
                 "workload": workload,
                 "topk_sweep": topk_sweep,
+                "cpu_steal_pct": {"before": steal_before, "after": _steal_sample()},
                 "cpus": cpus,
             }
         )
