@@ -215,6 +215,67 @@ JOIN sizes nb ON nb.doc_id = i.doc_b
 WHERE round(n_inter / (na.n_sh + nb.n_sh - n_inter), 4) >= {JACCARD_THRESHOLD}"""
 
 
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    near-dup pairs — the training-data dedup endgame (a chain a~b~c must
+    collapse to ONE survivor even if a and c never pair directly, which
+    pairwise dedup misses). Survivor = min doc_id of the cluster.
+
+    Reuses kg.canonicalize.connected_components (iterative DataFrame
+    self-join at scale, driver union-find for small graphs). Output
+    (doc_id, survivor, cluster_size) for every doc in some cluster.
+    """
+    from kg.canonicalize import connected_components
+
+    pairs = neardup_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").cast("string").alias("src"),
+        F.col("doc_b").cast("string").alias("dst"),
+    )
+    labels = connected_components(edges)
+    stats = labels.groupBy("label").agg(
+        F.min(F.col("node").cast("long")).alias("survivor"),
+        F.count("*").alias("cluster_size"),
+    )
+    return labels.join(F.broadcast(stats), "label").select(
+        F.col("node").cast("long").alias("doc_id"),
+        "survivor",
+        "cluster_size",
+    )
+
+
+def neardup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE {_candidates_sql()},
+sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY c.doc_a, c.doc_b
+),
+np AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+  WHERE round(n_inter / (na.n_sh + nb.n_sh - n_inter), 4) >= {JACCARD_THRESHOLD}
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM np UNION SELECT doc_b, doc_a FROM np
+),
+members AS (SELECT DISTINCT a AS node FROM sym),
+reach(node, m) AS (
+  SELECT node, node FROM members
+  UNION
+  SELECT s.b, r.m FROM reach r JOIN sym s ON s.a = r.node
+)
+SELECT node AS doc_id, min(m) AS survivor, count(DISTINCT m) AS cluster_size
+FROM reach GROUP BY node"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

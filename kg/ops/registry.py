@@ -21,6 +21,7 @@ def ops_queries() -> dict[str, QueryFn]:
         "dd_minhash_signatures": dedup.minhash_signatures,
         "dd_lsh_candidates": dedup.lsh_candidate_pairs,
         "dd_neardup_pairs": dedup.neardup_pairs,
+        "dd_neardup_clusters": dedup.neardup_clusters,
         "dd_simhash": dedup.simhash,
         "dd_embedding_neardup": dedup.embedding_neardup,
         # similarity search
@@ -65,6 +66,7 @@ def ops_oracles() -> dict[str, str]:
         "dd_minhash_signatures": dedup._signatures_sql(),
         "dd_lsh_candidates": f"WITH {dedup._candidates_sql()} SELECT * FROM cand",
         "dd_neardup_pairs": dedup.neardup_pairs_sql(),
+        "dd_neardup_clusters": dedup.neardup_clusters_sql(),
         "dd_simhash": dedup.simhash_sql(),
         "dd_embedding_neardup": dedup.embedding_neardup_sql(),
         "ss_bruteforce_topk": simsearch.bruteforce_topk_sql(),
