@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_hist": Q.q_degree_hist,
         "kg_two_hop": Q.q_two_hop,
         "kg_canonical_map_corpus": Q.q_canonical_map_corpus,
+        "kg_pagerank": Q.q_pagerank,
     }
     try:
         from kg.ops.registry import ops_queries
@@ -75,6 +76,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_degree_hist": oracles.degree_hist_sql(),
         "kg_two_hop": oracles.two_hop_sql(),
         "kg_canonical_map_corpus": oracles.canonical_map_corpus_sql(),
+        "kg_pagerank": Q.pagerank_sql(),
     }
     try:
         from kg.ops.registry import ops_oracles

@@ -169,6 +169,111 @@ def q_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PR_SCALE = 1_000_000_000_000  # fixed-point 1e12
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85
+PR_ITERS = 3
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the concept graph, PR_ITERS unrolled
+    iterations — (entity_id, rank) with rank scaled by PR_SCALE.
+
+    ALL arithmetic is int64 (floor divisions): distributed iterative
+    float aggregation is nondeterministic across engines AND across
+    partitionings (sum order), so ranks are fixed-point integers — the
+    same trick production graph engines use for reproducible iterative
+    metrics. Each iteration is one shuffle on the destination key over
+    the DISTINCT concept-pair projection (vocabulary-bounded, not
+    corpus-bounded).
+    """
+    edges = q_edges(spark, sf_dir).filter(~F.col("pred").startswith("has_"))
+    # materialize the vocabulary-bounded projection ONCE: without the
+    # checkpoint every unrolled iteration re-executes the full extraction
+    # DAG below the join (lineage grows per iteration — the SURVEY §4.3
+    # iterative-plan landmine, same reason connected_components checkpoints)
+    pairs = edges.select("subj_id", "obj_id").distinct().localCheckpoint()
+    nodes = (
+        pairs.select(F.col("subj_id").alias("entity_id"))
+        .unionByName(pairs.select(F.col("obj_id").alias("entity_id")))
+        .distinct()
+    )
+    n = nodes.count()  # vocabulary-sized; the literal feeds the base term
+    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n)
+    deg = pairs.groupBy("subj_id").agg(F.count("*").alias("out_deg"))
+
+    rank = nodes.withColumn("rank", F.lit(PR_SCALE // n).cast("long"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            pairs.join(rank, pairs.subj_id == rank.entity_id)
+            .join(deg, "subj_id")
+            .select(
+                F.col("obj_id").alias("entity_id"),
+                F.expr("rank div out_deg").alias("c"),
+            )
+            .groupBy("entity_id")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        rank = (
+            nodes.join(contrib, "entity_id", "left")
+            .select(
+                "entity_id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(in_sum, 0L)) div {PR_DAMP_DEN}"
+                    )
+                ).cast("long").alias("rank"),
+            )
+        )
+    return rank
+
+
+def pagerank_sql() -> str:
+    from kg.oracles import edges_sql
+
+    it = """
+contrib{t} AS (
+  SELECT p.obj_id AS entity_id, sum(r{p}.rank // d.out_deg) AS in_sum
+  FROM cpairs p
+  JOIN r{p} ON r{p}.entity_id = p.subj_id
+  JOIN deg d ON d.subj_id = p.subj_id
+  GROUP BY p.obj_id
+),
+r{t} AS (
+  SELECT n.entity_id,
+         CAST(base.b + ({dn} * coalesce(c.in_sum, 0)) // {dd} AS bigint) AS rank
+  FROM pr_nodes n
+  LEFT JOIN contrib{t} c USING (entity_id)
+  CROSS JOIN base
+)"""
+    its = ",".join(
+        it.format(t=i + 1, p=i, dn=PR_DAMP_NUM, dd=PR_DAMP_DEN)
+        for i in range(PR_ITERS)
+    )
+    return (
+        edges_sql().replace("SELECT * FROM edges", "")
+        + f""",
+cpairs AS (
+  SELECT DISTINCT subj_id, obj_id FROM edges WHERE pred NOT LIKE 'has_%'
+),
+pr_nodes AS (
+  SELECT subj_id AS entity_id FROM cpairs
+  UNION SELECT obj_id FROM cpairs
+),
+nn AS (SELECT count(*) AS n FROM pr_nodes),
+base AS (
+  SELECT ({PR_SCALE} * ({PR_DAMP_DEN} - {PR_DAMP_NUM}))
+           // ({PR_DAMP_DEN} * n) AS b,
+         {PR_SCALE} // n AS r0
+  FROM nn
+),
+deg AS (SELECT subj_id, count(*) AS out_deg FROM cpairs GROUP BY subj_id),
+r0 AS (SELECT entity_id, base.r0 AS rank FROM pr_nodes CROSS JOIN base),
+{its}
+SELECT entity_id, rank FROM r{PR_ITERS}"""
+    )
+
+
 def q_pred_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         q_triples_surface(spark, sf_dir)
