@@ -102,14 +102,22 @@ _SHINGLES_SQL = f"""
 """
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, h0..h7): per-doc min of md5('<i>|'||shingle) per hash fn."""
+def _sig_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h0..h7, n_sh) in ONE aggregation pass: signatures and
+    shingle counts share a groupBy so every consumer branch hangs off the
+    same subtree (one corpus scan + one exchange instead of two of each —
+    round-1 neardup_pairs re-derived the shingle explode 6×)."""
     sh = _shingles(spark, sf_dir)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
         for i in range(NUM_HASHES)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*aggs, F.count("*").alias("n_sh"))
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h0..h7): per-doc min of md5('<i>|'||shingle) per hash fn."""
+    return _sig_sizes(spark, sf_dir).drop("n_sh")
 
 
 def _signatures_sql() -> str:
@@ -119,9 +127,14 @@ def _signatures_sql() -> str:
     return f"SELECT doc_id, {mins} FROM ({_SHINGLES_SQL}) GROUP BY doc_id"
 
 
-def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_a < doc_b) sharing at least one LSH band bucket."""
-    sig = minhash_signatures(spark, sf_dir)
+def lsh_candidate_pairs(
+    spark: SparkSession, sf_dir: str, sig: DataFrame | None = None
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) sharing at least one LSH band bucket.
+    ``sig`` lets callers pass a materialized signature frame so the
+    shingle aggregation isn't re-derived per consumer."""
+    if sig is None:
+        sig = minhash_signatures(spark, sf_dir)
     r = NUM_HASHES // BANDS
     bands = F.array(
         *[
@@ -168,9 +181,15 @@ cand AS (
 def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates verified by exact shingle Jaccard >= threshold.
     Output: (doc_a, doc_b, jaccard rounded to 4dp)."""
-    cand = lsh_candidate_pairs(spark, sf_dir)
+    # materialize the doc-sized signature+size table ONCE (1 row/doc — tiny
+    # relative to the corpus-sized shingle explode it summarizes): the
+    # candidate branch and the size joins then share it instead of each
+    # re-deriving the explode+aggregate (column pruning makes the two
+    # aggregate subtrees differ, so ReuseExchange can never kick in)
+    sig_sizes = _sig_sizes(spark, sf_dir).localCheckpoint(eager=False)
+    cand = lsh_candidate_pairs(spark, sf_dir, sig=sig_sizes.drop("n_sh"))
     sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sizes = sig_sizes.select("doc_id", "n_sh")
     a_sh = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh"))
     b_sh = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh"))
     inter = (

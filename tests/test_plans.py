@@ -44,6 +44,18 @@ def test_ivf_assignment_is_join_and_shuffle_free(spark):
         assert op not in p, f"unexpected {op} in IVF plan"
 
 
+def test_neardup_reads_corpus_at_most_thrice(spark):
+    """The minhash/LSH/verify chain must not re-derive the corpus-sized
+    shingle explode per consumer: the doc-sized signature table is
+    materialized once, so the executed plan holds at most 3 corpus scans
+    (signature build + the two sides of the intersection self-join) —
+    round 1 had 6."""
+    df = dedup.neardup_pairs(spark, SF_DIR)
+    df.count()  # materialize the lazy signature checkpoint
+    p = _plan(df)
+    assert p.count("FileScan") <= 3, p.count("FileScan")
+
+
 def test_similarity_blocking_cap_bounds_pairs(spark):
     """An adversarial block (many surfaces, one prefix, one length) stays
     bounded under max_block: pairs <= C(max_block, 2); uncapped is
