@@ -189,18 +189,32 @@ def build_nodes(
         F.col("canonical_name").alias("name"),
         F.lit("concept").alias("kind"),
     ).distinct()
+    # doc + media nodes in ONE pass over the media rows (a docs/media
+    # union of two selects re-derives the whole extraction subtree twice)
     media_rows = triples_surface.filter(F.col("subj_pos") < 0)
-    docs = media_rows.select(
-        id64(F.concat(F.lit("doc:"), F.col("doc_id"))).alias("entity_id"),
-        F.col("doc_id").alias("name"),
-        F.lit("document").alias("kind"),
-    ).distinct()
-    media = media_rows.select(
-        id64(F.col("obj_surface")).alias("entity_id"),
-        F.col("obj_surface").alias("name"),
-        F.lit("media").alias("kind"),
-    ).distinct()
-    all_nodes = concepts.unionByName(docs).unionByName(media)
+    doc_media = (
+        media_rows.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        id64(F.concat(F.lit("doc:"), F.col("doc_id"))).alias(
+                            "entity_id"
+                        ),
+                        F.col("doc_id").alias("name"),
+                        F.lit("document").alias("kind"),
+                    ),
+                    F.struct(
+                        id64(F.col("obj_surface")).alias("entity_id"),
+                        F.col("obj_surface").alias("name"),
+                        F.lit("media").alias("kind"),
+                    ),
+                )
+            ).alias("n")
+        )
+        .select("n.entity_id", "n.name", "n.kind")
+        .distinct()
+    )
+    all_nodes = concepts.unionByName(doc_media)
     # single-pass endpoint explode (a union of two selects over the same
     # plan would recompute the whole upstream DAG twice when uncached)
     mentions = (

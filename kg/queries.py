@@ -158,7 +158,9 @@ def q_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucketed edges table that join is bucket-co-located (see
     tests/test_bucketed.py for the shuffle-free evidence)."""
     edges = q_edges(spark, sf_dir).filter(~F.col("pred").startswith("has_"))
-    pairs = edges.select("subj_id", "obj_id").distinct()
+    # vocabulary-bounded: materialize once so the self-join doesn't
+    # re-derive the extraction DAG on both sides
+    pairs = edges.select("subj_id", "obj_id").distinct().localCheckpoint(eager=False)
     e2 = pairs.select(
         F.col("subj_id").alias("b"), F.col("obj_id").alias("c")
     )
