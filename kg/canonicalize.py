@@ -206,7 +206,10 @@ def surface_similarity_edges(
     undirected edges, src < dst.
     """
     band_w = max_distance + 1
-    s = surfaces.select(F.col("surface")).distinct()
+    # distinct surfaces are vocabulary-bounded (not corpus-bounded):
+    # materialize once so the blocked self-join doesn't re-derive the
+    # upstream (possibly corpus-sized) surface extraction per side
+    s = surfaces.select(F.col("surface")).distinct().localCheckpoint(eager=False)
     band0 = F.floor(F.length("surface") / band_w).cast("int")
     blocked = s.select(
         "surface",

@@ -134,7 +134,9 @@ def lsh_candidate_pairs(
     ``sig`` lets callers pass a materialized signature frame so the
     shingle aggregation isn't re-derived per consumer."""
     if sig is None:
-        sig = minhash_signatures(spark, sf_dir)
+        # doc-sized; materialize so the band self-join below doesn't
+        # re-derive the corpus-sized shingle aggregation per side
+        sig = minhash_signatures(spark, sf_dir).localCheckpoint(eager=False)
     r = NUM_HASHES // BANDS
     bands = F.array(
         *[
