@@ -44,9 +44,12 @@ HW_NOTE = (
     "machine ceiling per 4x step: 2->8 workers = 3.50x (eff 0.874), "
     "4->16 = 3.36x (0.841), 8->32 = 3.02x (0.755) - SMT/turbo/memory-"
     "bandwidth effects a real cluster of separate hosts does not have. "
-    "The 2->8 pair is therefore used for the gate (least distorted); an "
-    "8->32 weighted run measured separately landed at 0.785, i.e. ABOVE "
-    "that pair's 0.755 hardware ceiling."
+    "The 2->8 pair is therefore used for the gate (least distorted). "
+    "Supplementary 8->32 weighted single runs (round 2, current code): "
+    "9,136 -> 23,293 triples/s = 2.55x, eff 0.637 = 84% of that pair's "
+    "3.02x machine ceiling (the round-2 fixed-cost cuts made the job "
+    "faster overall, which raises the share of wall that is single-box "
+    "I/O/scheduling the extra threads cannot parallelize)."
 )
 
 
