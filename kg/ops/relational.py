@@ -292,9 +292,12 @@ flagged AS (
   FROM e
 ),
 sess AS (
-  SELECT *, sum(new_s) OVER (
+  -- CAST: DuckDB's windowed sum(int) returns HUGEINT, which pandas turns
+  -- into float64 — the driver's value-hash is dtype-representation-
+  -- sensitive ("4.0" != "4"), so pin the oracle to int64 like Spark
+  SELECT *, CAST(sum(new_s) OVER (
       PARTITION BY user_id ORDER BY ts, event_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq, count(*) AS n_events,

@@ -86,7 +86,7 @@ def run_pipeline(
     sf_dir: str,
     out_dir: str,
     *,
-    extractor: str = "sql",
+    extractor: str = "fused",
     pandas_normalize: bool = False,
     canonicalize: str = "dict",
     run_id: str | None = None,
@@ -218,7 +218,14 @@ def main() -> None:
     p = argparse.ArgumentParser(description="kg construction pipeline")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p.add_argument("--out", required=True)
-    p.add_argument("--extractor", choices=["sql", "pandas", "fused"], default="sql")
+    p.add_argument(
+        "--extractor",
+        choices=["sql", "pandas", "fused"],
+        default="fused",
+        help="'fused' (default) = the at-scale Arrow kernel (3-4x faster than "
+        "the native-expression 'sql' path in a single JVM — see kg/fused.py); "
+        "'sql'/'pandas' stay for oracle parity and scripts/dev_compare.py",
+    )
     p.add_argument(
         "--canonicalize",
         choices=["dict", "corpus"],

@@ -89,7 +89,15 @@ def _top_entities_from_edges(
 
 def q_top_entities(spark: SparkSession, sf_dir: str, limit: int = 20) -> DataFrame:
     """Flagship: most-mentioned canonical concepts (native-expression
-    extraction path)."""
+    extraction path).
+
+    NOTE on the two extraction paths: this native-expression variant costs
+    3-4x the fused Arrow twin in one JVM (fresh-JVM timing at sf0.1,
+    local[32]: 20.2 s vs 7.7 s — interpreted array-HOF extraction is
+    allocation/GC-bound and anti-scales with threads; PLANS.md §2). It is
+    kept as the DuckDB-oracle-parity path; the at-scale configuration is
+    :func:`q_top_entities_fused`, which is also the pipeline default
+    (``--extractor fused``)."""
     return _top_entities_from_edges(spark, q_edges(spark, sf_dir), limit)
 
 

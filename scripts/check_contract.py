@@ -66,6 +66,22 @@ def main() -> None:
             except AssertionError as e:
                 ok = False
                 print(f"[{name}] VALUES: {str(e)[:250]}")
+        if ok:
+            # the driver's value-hash is dtype-REPRESENTATION-sensitive:
+            # an int64 4 and a float64 4.0 hash differently even though
+            # assert_frame_equal(check_dtype=False) passes. The one real
+            # trap is DuckDB widening integer sums to HUGEINT (-> pandas
+            # float64), so flag any int-vs-float disagreement per column.
+            for col in a.columns:
+                ka = a[col].dtype.kind
+                kb = b[col].dtype.kind
+                if {ka, kb} == {"i", "f"} or {ka, kb} == {"u", "f"}:
+                    ok = False
+                    print(
+                        f"[{name}] DTYPE-REPR: column '{col}' spark={a[col].dtype} "
+                        f"duck={b[col].dtype} — driver hash would mismatch "
+                        f"(cast the oracle, e.g. CAST(... AS BIGINT))"
+                    )
         else:
             print(
                 f"[{name}] SHAPE spark={a.shape}{list(a.columns)} "
