@@ -56,12 +56,16 @@ _HTML_ENTITIES = [
 ]
 
 # (pattern, replacement) — applied in order. Latex: keep \cmd{arg} content,
-# unwrap $math$, drop bare \cmd and stray $, break \\ and sub/superscripts.
+# unwrap $math$, drop stray $ THEN bare \cmd, break \\ and sub/superscripts.
+# Order constraint (idempotence, found by hypothesis): stray-$ removal must
+# run BEFORE bare-\cmd removal — the other way round, '\$A' loses its $
+# AFTER the \cmd pass already ran, manufacturing a fresh '\A' command that
+# only a second pass would strip (clean(clean(x)) != clean(x)).
 _LATEX_STEPS = [
     (r"\\[a-zA-Z]+\{([^}]*)\}", r"$1"),
     (r"\$([^$]*)\$", r"$1"),
-    (r"\\[a-zA-Z]+", ""),
     (r"\$+", ""),
+    (r"\\[a-zA-Z]+", ""),
     (r"\\\\", " "),
     (r"[_^]", " "),
 ]

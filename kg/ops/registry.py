@@ -56,6 +56,10 @@ def ops_queries() -> dict[str, QueryFn]:
         "rel_semi_join": relational.suppliers_with_orders,
         "rel_sessionize": relational.sessionize,
         "rel_value_percentiles": relational.value_percentiles,
+        # tail entry (position 51+, outside the driver's 50-query window):
+        # sketch-based, no bit-exact oracle possible — tolerance-pinned vs
+        # the exact operator in tests/test_ops.py
+        "rel_value_percentiles_approx": relational.value_percentiles_approx,
     }
 
 

@@ -329,6 +329,30 @@ SELECT event_type,
 FROM events GROUP BY event_type"""
 
 
+def value_percentiles_approx(
+    spark: SparkSession, sf_dir: str, accuracy: int = 10_000
+) -> DataFrame:
+    """The 100 TB twin of :func:`value_percentiles`: ``approx_percentile``
+    (Greenwald-Khanna sketch — constant memory per group, partial-merge
+    aggregation, NO per-group sort), where 4-dp exactness isn't
+    contractual. At accuracy=10000 the rank error bound is 1/accuracy =
+    0.01% of rows per group, so small groups come out exact. No DuckDB
+    bit-exact oracle exists for sketch internals — equality-within-
+    tolerance vs the exact operator is pinned in
+    tests/test_ops.py::test_value_percentiles_approx_matches_exact, and
+    the driver records the rows-only check. Output (event_type, p50, p95).
+    """
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(
+            F.percentile_approx("value", F.lit(0.5), F.lit(accuracy)), 4
+        ).alias("p50"),
+        F.round(
+            F.percentile_approx("value", F.lit(0.95), F.lit(accuracy)), 4
+        ).alias("p95"),
+    )
+
+
 def filter_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/F3/F5 analog: required-field + length-bounds filter and derived
     projection over documents."""

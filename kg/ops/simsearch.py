@@ -42,8 +42,14 @@ from kg.ops.dedup import _sign_bucket
 
 QUERY_VEC_ID = 0
 TOP_K = 10
+
+# --- contract-default dials (the values the DuckDB oracle SQL pins) ---
+# Both search variants take these as PARAMETERS now (round-2 VERDICT: a
+# constant dial devolves to scanning a fixed fraction of the corpus per
+# query at 100x data). Sizing rules for real corpora are
+# :func:`lsh_sign_bits` and :func:`ivf_dials` below.
 SEARCH_SIGN_BITS = 4  # 16 buckets — coarser than dedup blocking so each
-# bucket holds enough candidates for a meaningful top-k
+# bucket holds enough candidates for a meaningful top-k at this SF
 
 # IVF coarse quantizer: centroids are a fixed, deterministic subset of the
 # collection (vec_ids 1..N_CELLS) — a seeded-kmeans stand-in that keeps the
@@ -52,10 +58,38 @@ SEARCH_SIGN_BITS = 4  # 16 buckets — coarser than dedup blocking so each
 IVF_CELLS = 8
 IVF_PROBE = 2
 
-# per-session cache of (sf_dir -> {vec_id: [floats]}) for the bounded
-# driver-side vectors (query + IVF centroids); dictionary-sized like
-# kg.canonicalize._CANON_CACHE.
-_VEC_CACHE: dict[tuple[int, str], dict[int, list[float]]] = {}
+# Past this many centroids, inlining them as literal arrays stops working
+# (codegen/expression size grows linearly with cells); the assignment
+# switches to a broadcast of the packed centroid table (1 row) — still
+# exchange-free, same argmax semantics (see _assign_cells_broadcast).
+LITERAL_CENTROID_MAX = 64
+
+
+def lsh_sign_bits(n_vectors: int, target_bucket: int = 4096) -> int:
+    """Size the LSH dial with the corpus: sign_bits such that the EXPECTED
+    bucket population ~ target_bucket (buckets = 2^bits, each query scans
+    ~n/2^bits candidates). A constant bits value means a constant FRACTION
+    of the corpus per query — the round-2 scale flaw this replaces."""
+    import math
+
+    return max(1, math.ceil(math.log2(max(2.0, n_vectors / target_bucket))))
+
+
+def ivf_dials(n_vectors: int) -> tuple[int, int]:
+    """Classic IVF sizing: cells ~ sqrt(N) (balances cells-scanned-for-
+    assignment against vectors-scanned-per-probe), probe ~ cells/8
+    (recall/latency dial; raise toward cells for recall 1.0)."""
+    import math
+
+    cells = max(1, round(math.sqrt(n_vectors)))
+    return cells, max(1, cells // 8)
+
+
+# per-session cache of (sf_dir -> (bound, {vec_id: [floats]})) for the
+# bounded driver-side vectors (query + IVF centroids); dictionary-sized
+# like kg.canonicalize._CANON_CACHE. `bound` is the highest vec_id
+# collected so far — a request past it re-collects with the wider filter.
+_VEC_CACHE: dict[tuple[int, str], tuple[int, dict[int, list[float]]]] = {}
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,18 +99,20 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _small_vecs(spark: SparkSession, sf_dir: str) -> dict[int, list[float]]:
+def _small_vecs(
+    spark: SparkSession, sf_dir: str, need_max: int | None = None
+) -> dict[int, list[float]]:
     """Query vector + IVF centroids, collected once per (session, sf_dir).
-    Bounded: 1 + IVF_CELLS rows; the scan is pushed down on vec_id."""
+    Bounded: need_max+1 rows; the scan is pushed down on vec_id."""
+    if need_max is None:
+        need_max = max(QUERY_VEC_ID, IVF_CELLS)
     key = (id(spark), sf_dir)
-    if key not in _VEC_CACHE:
-        rows = (
-            _emb(spark, sf_dir)
-            .filter(F.col("vec_id") <= max(QUERY_VEC_ID, IVF_CELLS))
-            .collect()
-        )
-        _VEC_CACHE[key] = {r.vec_id: [float(x) for x in r.v] for r in rows}
-    return _VEC_CACHE[key]
+    bound, vecs = _VEC_CACHE.get(key, (-1, {}))
+    if need_max > bound:
+        rows = _emb(spark, sf_dir).filter(F.col("vec_id") <= need_max).collect()
+        vecs = {r.vec_id: [float(x) for x in r.v] for r in rows}
+        _VEC_CACHE[key] = (need_max, vecs)
+    return vecs
 
 
 def _lit_vec(vec: list[float]):
@@ -115,16 +151,23 @@ def _ranked_topk(scored: DataFrame, k: int = TOP_K) -> DataFrame:
     )
 
 
-def bruteforce_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+def bruteforce_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    query_vec_id: int = QUERY_VEC_ID,
+) -> DataFrame:
     """Exact top-k: (vec_id, rank, cos). One scan, per-row literal dot,
     parallel top-k — no joins, no shuffles before the final k-row merge.
     ``k`` is the sensitivity dial (reference ``bench/topKSensitivity.py``:
     k∈{5..320}); cost is flat in k because TakeOrderedAndProject keeps a
     size-k heap per partition instead of globally sorting."""
-    qv = _small_vecs(spark, sf_dir)[QUERY_VEC_ID]
+    qv = _small_vecs(spark, sf_dir, need_max=max(query_vec_id, IVF_CELLS))[
+        query_vec_id
+    ]
     scored = (
         _emb(spark, sf_dir)
-        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .filter(F.col("vec_id") != query_vec_id)
         .withColumn("cos", F.round(_dot_lit(F.col("v"), qv), 4))
     )
     return _ranked_topk(scored, k)
@@ -147,59 +190,131 @@ SELECT vec_id, rank, cos FROM (
 ) WHERE rank <= {TOP_K}"""
 
 
-def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    sign_bits: int = SEARCH_SIGN_BITS,
+    query_vec_id: int = QUERY_VEC_ID,
+) -> DataFrame:
     """Approximate top-k within the query's sign bucket. The query bucket
     is a literal (computed driver-side from the collected query vector),
-    so the bucket filter pushes into the scan at the partition level."""
-    qv = _small_vecs(spark, sf_dir)[QUERY_VEC_ID]
-    qbucket = sum((1 << i) for i in range(SEARCH_SIGN_BITS) if qv[i] >= 0)
+    so the bucket filter pushes into the scan at the partition level.
+
+    ``sign_bits`` MUST scale with the corpus (``lsh_sign_bits(n)``): each
+    query scans ~n/2^sign_bits candidates, so a constant value is a
+    constant corpus fraction. The module default is the contract/oracle
+    dial, sized for the sandbox SFs."""
+    qv = _small_vecs(spark, sf_dir, need_max=max(query_vec_id, IVF_CELLS))[
+        query_vec_id
+    ]
+    qbucket = sum((1 << i) for i in range(sign_bits) if qv[i] >= 0)
     e = _emb(spark, sf_dir).withColumn(
-        "bucket", _sign_bucket(F.col("v"), SEARCH_SIGN_BITS)
+        "bucket", _sign_bucket(F.col("v"), sign_bits)
     )
     scored = (
-        e.filter((F.col("bucket") == qbucket) & (F.col("vec_id") != QUERY_VEC_ID))
+        e.filter((F.col("bucket") == qbucket) & (F.col("vec_id") != query_vec_id))
         .withColumn("cos", F.round(_dot_lit(F.col("v"), qv), 4))
     )
-    return _ranked_topk(scored)
+    return _ranked_topk(scored, k)
 
 
-def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _assign_cells_broadcast(
+    spark: SparkSession, e: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Nearest-centroid assignment for centroid sets too large to inline
+    as literals: pack the centroid table into ONE row (array of structs),
+    broadcast it (BroadcastNestedLoopJoin of a 1-row side — no shuffle),
+    and pick the argmax per data row with array HOFs.
+
+    Tie-break parity with the literal path: ``array_max`` over
+    struct(dot, -cell) orders by dot first, then by -cell, so equal dots
+    resolve to the SMALLEST cell — identical to array_position-of-max
+    (first occurrence) and to the oracle's row_number(desc dot, asc cell).
+    Scales to ~10^5 centroids (centroid bytes x 1 row broadcast); beyond
+    that, shard the centroid array and take the max of per-shard maxes."""
+    # one literal row built driver-side (centroids are already collected),
+    # so the broadcast side needs no aggregation — and thus no Exchange
+    packed = spark.createDataFrame(
+        [([(cell, cv) for cell, cv in cents],)],
+        "_cents array<struct<cell: int, cv: array<double>>>",
+    )
+    joined = e.join(F.broadcast(packed))
+    best = F.array_max(
+        F.transform(
+            "_cents",
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("v"), c["cv"], lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ).alias("d"),
+                (-c["cell"]).alias("negcell"),
+            ),
+        )
+    )
+    return joined.withColumn("cell", (-best["negcell"]).cast("int")).drop("_cents")
+
+
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    n_cells: int = IVF_CELLS,
+    n_probe: int = IVF_PROBE,
+    query_vec_id: int = QUERY_VEC_ID,
+    centroid_path: str | None = None,
+) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest coarse centroid
-    (argmax dot over IVF_CELLS fixed centroids), probe the IVF_PROBE cells
-    nearest to the query, score only vectors in probed cells.
+    (argmax dot over ``n_cells`` fixed centroids), probe the ``n_probe``
+    cells nearest to the query, score only vectors in probed cells.
 
-    Cell assignment is a PER-ROW expression: the centroid dots go into an
-    array and ``array_position(arr, array_max(arr))`` picks the argmax
-    (first occurrence == smallest cell id, matching the desc-dot/asc-cell
-    tie-break) — zero joins and zero shuffles, vs the round-1
-    crossJoin(cents) + Window.partitionBy(vec_id) that shuffled N×CELLS
-    rows. Probe cells are computed driver-side from the collected
-    centroids (same fold, bit-identical dots).
+    ``(n_cells, n_probe)`` MUST scale with the corpus — cells ~ sqrt(N)
+    (``ivf_dials(n)``); the module defaults are the contract/oracle dials.
+
+    Two assignment paths, selected by centroid count (``centroid_path``
+    forces one for testing):
+
+    * ``literal`` (<= LITERAL_CENTROID_MAX cells): centroid dots inlined
+      as per-row literal expressions; argmax via
+      ``array_position(arr, array_max(arr))`` (first occurrence == smallest
+      cell id, matching the desc-dot/asc-cell tie-break) — zero joins,
+      zero shuffles (plan-gated in tests/test_plans.py).
+    * ``broadcast`` (beyond it): the packed 1-row centroid table is
+      broadcast and the same argmax runs via array HOFs — still
+      exchange-free; see :func:`_assign_cells_broadcast`.
 
     At scale the cell id is the partition key: a query touches
-    IVF_PROBE/IVF_CELLS of the data. Output (vec_id, rank, cos).
+    n_probe/n_cells of the data. Output (vec_id, rank, cos).
     """
-    vecs = _small_vecs(spark, sf_dir)
-    qv = vecs[QUERY_VEC_ID]
-    cents = [(cell, vecs[cell]) for cell in range(1, IVF_CELLS + 1)]
+    vecs = _small_vecs(spark, sf_dir, need_max=max(query_vec_id, n_cells))
+    qv = vecs[query_vec_id]
+    cents = [(cell, vecs[cell]) for cell in range(1, n_cells + 1)]
+    path = centroid_path or (
+        "literal" if n_cells <= LITERAL_CENTROID_MAX else "broadcast"
+    )
 
-    cdots = F.array(*[_dot_lit(F.col("v"), cv) for _, cv in cents])
-    # argmax: first index of the max — ties resolve to the smallest cell,
-    # identical to row_number over (desc cdot, asc cell)
-    cell = F.array_position(cdots, F.array_max(cdots)).cast("int")
+    if path == "literal":
+        cdots = F.array(*[_dot_lit(F.col("v"), cv) for _, cv in cents])
+        # argmax: first index of the max — ties resolve to the smallest
+        # cell, identical to row_number over (desc cdot, asc cell)
+        cell = F.array_position(cdots, F.array_max(cdots)).cast("int")
+        assigned = _emb(spark, sf_dir).withColumn("cell", cell)
+    else:
+        assigned = _assign_cells_broadcast(spark, _emb(spark, sf_dir), cents)
 
     probe = sorted(
         ((-_py_dot(qv, cv), c) for c, cv in cents)
-    )[:IVF_PROBE]
+    )[:n_probe]
     probe_cells = [c for _, c in probe]
 
     scored = (
-        _emb(spark, sf_dir)
-        .withColumn("cell", cell)
-        .filter(F.col("cell").isin(probe_cells) & (F.col("vec_id") != QUERY_VEC_ID))
+        assigned.filter(
+            F.col("cell").isin(probe_cells) & (F.col("vec_id") != query_vec_id)
+        )
         .withColumn("cos", F.round(_dot_lit(F.col("v"), qv), 4))
     )
-    return _ranked_topk(scored)
+    return _ranked_topk(scored, k)
 
 
 def ivf_topk_sql() -> str:
@@ -289,6 +404,65 @@ SELECT vec_id, dim_n, n_nan, norm,
        (dim_n = {EXPECTED_DIM} AND n_nan = 0
         AND abs(norm - 1.0) <= {NORM_TOL}) AS is_valid
 FROM m"""
+
+
+def recall_at_k(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: list[int],
+    k: int = TOP_K,
+    sign_bits: int = SEARCH_SIGN_BITS,
+    n_cells: int = IVF_CELLS,
+    n_probe: int = IVF_PROBE,
+) -> dict:
+    """recall@k of the approximate variants vs exact brute force, averaged
+    over ``query_ids`` (reference analog: HNSW quality dial ``ef``,
+    ``bench/topKSensitivity.py:36-42`` — the reference's acceptance
+    criterion for search is quality+latency, not latency alone).
+
+    NOTE on fixtures: the sandbox sf* embeddings are RANDOM unit vectors
+    (max pairwise cos ~0.48), so ANY bucketing ANN has chance-level recall
+    on them BY CONSTRUCTION — measure on a planted-cluster fixture
+    (kg.synth.write_planted_embeddings) for a meaningful number; the
+    random-corpus number is reported alongside as the floor."""
+    sums = {"lsh": 0.0, "ivf": 0.0}
+    for q in query_ids:
+        truth = {
+            r.vec_id
+            for r in bruteforce_topk(spark, sf_dir, k=k, query_vec_id=q).collect()
+        }
+        denom = max(1, len(truth))
+        got_lsh = {
+            r.vec_id
+            for r in lsh_topk(
+                spark, sf_dir, k=k, sign_bits=sign_bits, query_vec_id=q
+            ).collect()
+        }
+        got_ivf = {
+            r.vec_id
+            for r in ivf_topk(
+                spark, sf_dir, k=k, n_cells=n_cells, n_probe=n_probe,
+                query_vec_id=q,
+            ).collect()
+        }
+        sums["lsh"] += len(got_lsh & truth) / denom
+        sums["ivf"] += len(got_ivf & truth) / denom
+    n = max(1, len(query_ids))
+    return {
+        "k": k,
+        "n_queries": len(query_ids),
+        "lsh": {
+            "recall": round(sums["lsh"] / n, 3),
+            "sign_bits": sign_bits,
+            "corpus_fraction_scanned": round(0.5 ** sign_bits, 4),
+        },
+        "ivf": {
+            "recall": round(sums["ivf"] / n, 3),
+            "n_cells": n_cells,
+            "n_probe": n_probe,
+            "corpus_fraction_scanned": round(n_probe / n_cells, 4),
+        },
+    }
 
 
 def lsh_topk_sql() -> str:

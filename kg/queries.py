@@ -118,6 +118,18 @@ def q_top_entities_fused(
     )
 
 
+# Blocking/component caps ACTIVE in the contract queries (round-2 VERDICT
+# item 7): the 100x-safe configuration should be the one that is actually
+# oracle-checked. Sized far above anything observed at sandbox SFs (the
+# fixed 31-word vocabulary gives (prefix, band) blocks of <=10 surfaces
+# and components of <=5 members), so results are unchanged — but the
+# capped code path (deterministic per-block window, component reversion)
+# is what every driver row now exercises; the caps BITING is covered by
+# tests/test_plans.py::test_similarity_blocking_cap_bounds_pairs.
+SIM_MAX_BLOCK = 1000
+SIM_MAX_COMPONENT = 1000
+
+
 def q_similarity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-derived surface-similarity graph over observed mention
     surfaces (blocked self-join + levenshtein; feeds connected
@@ -130,7 +142,9 @@ def q_similarity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("kind") == "text")
         .select(F.explode(toks).alias("surface"))
     )
-    return surface_similarity_edges(surfaces, max_distance=3, block_prefix=1)
+    return surface_similarity_edges(
+        surfaces, max_distance=3, block_prefix=1, max_block=SIM_MAX_BLOCK
+    )
 
 
 def q_canonical_map_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,7 +159,13 @@ def q_canonical_map_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("kind") == "text")
         .select(F.explode(toks).alias("surface"))
     )
-    return canonical_map_from_corpus(surfaces, max_distance=1, block_prefix=1)
+    return canonical_map_from_corpus(
+        surfaces,
+        max_distance=1,
+        block_prefix=1,
+        max_block=SIM_MAX_BLOCK,
+        max_component=SIM_MAX_COMPONENT,
+    )
 
 
 def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -110,7 +110,7 @@ def stateful_dedup_stream(
     docs_stream: DataFrame,
     out_dir: str,
     checkpoint_dir: str,
-    state_ttl_minutes: int | None = None,
+    state_ttl_minutes: float | None = None,
 ):
     """Custom stateful operator: first-wins document dedup ACROSS
     micro-batches (the streaming twin of SURVEY §2.4 D2, whose batch form

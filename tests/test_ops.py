@@ -3,14 +3,17 @@
 
 import pytest
 
-from kg.ops import dedup, media, simsearch, textstats
+from kg.ops import dedup, media, relational, simsearch, textstats
 from kg.ops.registry import ops_oracles, ops_queries
 from tests.conftest import SF_DIR, assert_df_equal
 
 
 def test_registry_complete():
     qs, os_ = ops_queries(), ops_oracles()
-    assert set(qs) == set(os_)
+    # every oracle has a query; the ONLY oracle-less query is the sketch
+    # twin (no bit-exact DuckDB oracle possible — tolerance-pinned below)
+    assert set(os_) <= set(qs)
+    assert set(qs) - set(os_) == {"rel_value_percentiles_approx"}
     assert len(qs) >= 20
 
 
@@ -51,3 +54,31 @@ def test_entry_smoke(spark):
     os_ = e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 30
+
+
+def test_value_percentiles_approx_matches_exact(spark):
+    """The sketch twin tracks the exact operator, asserted by RANK (the
+    guarantee GK actually gives — a value-distance bound would depend on
+    the local density of the tail): at accuracy=10000 the rank error is
+    <=0.01% of rows per group, so the sketch's answer must be an observed
+    value within +/-2 positions of the exact percentile's rank."""
+    import numpy as np
+
+    approx = {
+        r.event_type: r
+        for r in relational.value_percentiles_approx(spark, SF_DIR).collect()
+    }
+    vals = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_type", "value")
+        .toPandas()
+    )
+    assert set(approx) == set(vals["event_type"].unique())
+    for et, grp in vals.groupby("event_type"):
+        v = np.sort(grp["value"].to_numpy())
+        n = len(v)
+        for p, got in ((0.5, approx[et].p50), (0.95, approx[et].p95)):
+            pos = p * (n - 1)
+            lo = round(v[max(0, int(np.floor(pos)) - 2)], 4)
+            hi = round(v[min(n - 1, int(np.ceil(pos)) + 2)], 4)
+            assert lo <= got <= hi, (et, p, got, lo, hi)

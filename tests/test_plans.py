@@ -124,3 +124,27 @@ def test_embedding_neardup_bucket_cap_invariant(spark):
         .head(cap)["vec_id"]
     )
     assert set(out["vec_a"]) <= survivors and set(out["vec_b"]) <= survivors
+
+
+def test_sessionize_plan_has_single_exchange(spark):
+    """PLANS.md §6 claim, now CI-gated: ONE hash exchange on user_id
+    serves the lag window, the running-sum window AND the per-session
+    rollup (HashPartitioning(user_id) satisfies the (user_id, session_seq)
+    clustering requirement, so the groupBy reuses the window's shuffle)."""
+    p = _plan(relational.sessionize(spark, SF_DIR))
+    assert p.count("Exchange") == 1, p
+    assert "hashpartitioning(user_id" in p, p
+
+
+def test_two_hop_self_join_reads_checkpoint_not_files(spark):
+    """The vocabulary-bounded DISTINCT pair projection is materialized
+    once (localCheckpoint); the self-join must consume THAT — i.e. the
+    two-hop plan holds zero parquet scans (re-deriving the corpus-sized
+    extraction DAG under both join sides was the round-1 landmine)."""
+    from kg.queries import q_two_hop
+
+    df = q_two_hop(spark, SF_DIR)
+    df.count()  # materialize the lazy checkpoint
+    p = _plan(df)
+    assert p.count("FileScan") == 0, p
+    assert "Scan ExistingRDD" in p, p

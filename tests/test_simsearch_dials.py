@@ -1,0 +1,113 @@
+"""ANN dial parameterization (round-2 VERDICT items 3-4): the search
+variants take (sign_bits, n_cells, n_probe, query_vec_id) instead of
+module constants; larger-cell configurations produce the same top-k; the
+broadcast-centroid path (for centroid sets past literal inlining) is
+result-identical to the literal path and stays exchange-free; recall@k is
+measurable on a planted-cluster fixture.
+"""
+
+import pytest
+
+from kg.ops import simsearch as S
+from kg.synth import write_planted_embeddings
+from tests.conftest import SF_DIR
+
+
+def _ids(rows):
+    return [r.vec_id for r in rows]
+
+
+def test_broadcast_centroid_path_equals_literal(spark):
+    a = S.ivf_topk(spark, SF_DIR, centroid_path="literal").collect()
+    b = S.ivf_topk(spark, SF_DIR, centroid_path="broadcast").collect()
+    assert a == b
+
+
+def test_larger_cell_config_same_topk(spark):
+    """VERDICT item-3 'done' criterion: a larger-cell configuration
+    produces the same top-k on the fixture. Probing ALL cells makes IVF
+    exact, so any n_cells with n_probe=n_cells must equal brute force —
+    including a centroid set past LITERAL_CENTROID_MAX (auto-selects the
+    broadcast path)."""
+    bf = _ids(S.bruteforce_topk(spark, SF_DIR).collect())
+    assert _ids(S.ivf_topk(spark, SF_DIR, n_cells=16, n_probe=16).collect()) == bf
+    assert S.LITERAL_CENTROID_MAX < 100
+    assert _ids(S.ivf_topk(spark, SF_DIR, n_cells=100, n_probe=100).collect()) == bf
+
+
+def test_broadcast_path_plan_is_shuffle_free(spark):
+    """Assignment via the packed 1-row broadcast: the plan below the top-k
+    must hold no SHUFFLE exchange and no SortMergeJoin — the only Exchange
+    allowed is the BroadcastExchange of the 1-row centroid side (that's
+    the point of the path)."""
+    df = S.ivf_topk(spark, SF_DIR, centroid_path="broadcast")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p.replace("BroadcastExchange", ""), p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_lsh_sign_bits_parameter_changes_bucketing(spark):
+    """sign_bits is live: coarser buckets (fewer bits) can only widen the
+    candidate set, so recall vs brute force is monotone non-decreasing as
+    bits shrink; and the result at the contract dial matches the
+    registry default."""
+    default = S.lsh_topk(spark, SF_DIR).collect()
+    explicit = S.lsh_topk(
+        spark, SF_DIR, k=S.TOP_K, sign_bits=S.SEARCH_SIGN_BITS
+    ).collect()
+    assert default == explicit
+    bf = set(_ids(S.bruteforce_topk(spark, SF_DIR).collect()))
+    r1 = len(set(_ids(S.lsh_topk(spark, SF_DIR, sign_bits=1).collect())) & bf)
+    r6 = len(set(_ids(S.lsh_topk(spark, SF_DIR, sign_bits=6).collect())) & bf)
+    assert r1 >= r6
+
+
+def test_sizing_rules():
+    """cells ~ sqrt(N); sign_bits keeps EXPECTED bucket size constant —
+    both must grow with the corpus (the round-2 scale flaw was constants)."""
+    assert S.ivf_dials(10**6) == (1000, 125)
+    assert S.ivf_dials(10**12)[0] == 10**6
+    assert S.lsh_sign_bits(10**6) == 8
+    assert S.lsh_sign_bits(10**12) == 28
+    ns = [10**4, 10**6, 10**9, 10**12]
+    assert all(
+        S.lsh_sign_bits(a) <= S.lsh_sign_bits(b) for a, b in zip(ns, ns[1:])
+    )
+    assert all(S.ivf_dials(a)[0] <= S.ivf_dials(b)[0] for a, b in zip(ns, ns[1:]))
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("planted"))
+    write_planted_embeddings(d)
+    return d
+
+
+def test_recall_on_planted_clusters(spark, planted_dir):
+    """On the planted-cluster fixture (32 clusters, one IVF centroid slot
+    per cluster) the probe dial sweeps a real recall curve: probe=4 of 32
+    cells recovers >=0.9 of the exact top-10 while scanning 12.5% of the
+    corpus, and probe=8 beats probe=1 (monotone in probe). The sandbox's
+    random embeddings are chance-level by construction — that contrast is
+    the point of the fixture."""
+    qids = list(range(33, 41))
+    rep4 = S.recall_at_k(spark, planted_dir, qids, sign_bits=4, n_cells=32, n_probe=4)
+    assert rep4["ivf"]["recall"] >= 0.9
+    assert rep4["ivf"]["corpus_fraction_scanned"] == 0.125
+    rep1 = S.recall_at_k(spark, planted_dir, qids, sign_bits=4, n_cells=32, n_probe=1)
+    rep8 = S.recall_at_k(spark, planted_dir, qids, sign_bits=4, n_cells=32, n_probe=8)
+    assert rep1["ivf"]["recall"] < rep8["ivf"]["recall"]
+    # sign-LSH on the same fixture: well above the random floor but far
+    # below IVF — hyperplane cuts don't respect cluster geometry (honest
+    # weakness the bench table documents)
+    assert rep4["lsh"]["recall"] >= 0.15
+
+
+def test_query_vec_id_parameter(spark):
+    """Arbitrary query vectors: results exclude the query id and differ
+    across queries (the reference serves arbitrary-query kNN)."""
+    a = S.bruteforce_topk(spark, SF_DIR, query_vec_id=7).collect()
+    assert 7 not in _ids(a)
+    b = S.bruteforce_topk(spark, SF_DIR, query_vec_id=0).collect()
+    assert _ids(a) != _ids(b)

@@ -63,3 +63,43 @@ def test_incremental_kg_equals_batch(spark, tmp_path):
         "subj_id", "pred", "obj_id", "doc_id", "offset"
     )
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_stateful_dedup_ttl_actually_expires(spark, tmp_path):
+    """ProcessingTimeTimeout under a real clock (round-2 VERDICT item 9:
+    the TTL path was code-complete but never end-to-end asserted through
+    an expiry). Three micro-batches: (1) doc 1 seen; (2) after the TTL
+    deadline, a batch with OTHER keys fires the timeout and removes doc
+    1's state; (3) doc 1 arrives again and — state expired — is emitted a
+    SECOND time. Spark only evaluates timeouts while processing a batch,
+    hence the intermediate batch; that's exactly how a continuous stream
+    behaves (there's always a next batch)."""
+    import time
+
+    from kg.streaming import stateful_dedup_stream
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ttl_min = 4 / 60  # 4 seconds
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+            "append"
+        ).parquet(in_dir)
+        src = spark.readStream.schema("doc_id long, text string").parquet(in_dir)
+        q = stateful_dedup_stream(src, out_dir, ckpt, state_ttl_minutes=ttl_min)
+        q.awaitTermination(120)
+
+    run_batch([(1, "first")])
+    assert spark.read.parquet(out_dir).count() == 1
+
+    time.sleep(6)  # > TTL: doc 1's deadline has passed
+    run_batch([(99, "other")])  # fires the timeout -> doc 1 state removed
+
+    run_batch([(1, "second")])  # same key, after expiry -> emitted again
+    got = spark.read.parquet(out_dir)
+    texts = sorted(r.text for r in got.filter("doc_id = 1").collect())
+    assert texts == ["first", "second"], texts
+    # the within-TTL guarantee still held for doc 99 (emitted once)
+    assert got.filter("doc_id = 99").count() == 1
