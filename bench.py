@@ -190,6 +190,15 @@ def main() -> None:
                 spark, fx_dir, qids, sign_bits=bits, n_cells=32, n_probe=4
             )
             sweep[f"lsh_bits_{bits}"] = r["lsh"]
+        # multi-probe is LSH's recall dial (the IVF-probe analog): same
+        # bits, increasing probes — recall climbs at a scan fraction of
+        # probes/2^bits instead of needing L independent tables
+        for probes in (2, 4, 8):
+            r = recall_at_k(
+                spark, fx_dir, qids, sign_bits=4, n_cells=32, n_probe=1,
+                lsh_probes=probes,
+            )
+            sweep[f"lsh_bits_4_probe_{probes}"] = r["lsh"]
         floor = recall_at_k(spark, sf_dir, qids[:8])
         recall = {
             "k": 10,
