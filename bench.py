@@ -199,6 +199,16 @@ def main() -> None:
                 lsh_probes=probes,
             )
             sweep[f"lsh_bits_4_probe_{probes}"] = r["lsh"]
+        # trained coarse quantizer (distributed spherical k-means) vs the
+        # vec-id-slot stand-in the oracle pins: same probe budget
+        from kg.ops.simsearch import train_ivf_centroids
+
+        trained = train_ivf_centroids(spark, fx_dir, n_cells=32, n_iters=5)
+        for probe in (1, 2):
+            r = recall_at_k(
+                spark, fx_dir, qids, n_probe=probe, ivf_centroids=trained
+            )
+            sweep[f"ivf_trained_probe_{probe}"] = r["ivf"]
         floor = recall_at_k(spark, sf_dir, qids[:8])
         recall = {
             "k": 10,

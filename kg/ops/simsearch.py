@@ -272,6 +272,20 @@ def lsh_topk(
     return _ranked_topk(scored, k)
 
 
+def _argmax_cell_literal(cents: list[tuple[int, list[float]]]):
+    """Nearest-centroid cell id via inlined literal centroid dots.
+    ``array_position`` yields the FIRST index of the max; with ``cents``
+    sorted by cell id ascending that is the smallest cell id on ties —
+    identical to the broadcast path's struct(dot, -cell) max and to the
+    oracle's row_number(desc dot, asc cell). The position is mapped back
+    through a literal id array so arbitrary (trained) cell ids work, not
+    just 1..n."""
+    cdots = F.array(*[_dot_lit(F.col("v"), cv) for _, cv in cents])
+    pos = F.array_position(cdots, F.array_max(cdots))
+    ids = F.array(*[F.lit(int(c)) for c, _ in cents])
+    return F.element_at(ids, pos.cast("int")).cast("int")
+
+
 def _assign_cells_broadcast(
     spark: SparkSession, e: DataFrame, cents: list[tuple[int, list[float]]]
 ) -> DataFrame:
@@ -309,6 +323,58 @@ def _assign_cells_broadcast(
     return joined.withColumn("cell", (-best["negcell"]).cast("int")).drop("_cents")
 
 
+def train_ivf_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = IVF_CELLS,
+    n_iters: int = 5,
+    init: list[tuple[int, list[float]]] | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Distributed spherical k-means (Lloyd) for the IVF coarse quantizer
+    — replaces the fixed vec-id-slot stand-in with TRAINED centroids
+    (what a real IVF build does; reference analog: Milvus's IVF index
+    training step).
+
+    Scale shape: each iteration is ONE corpus scan — the shuffle-free
+    nearest-centroid assignment search already uses (literal argmax under
+    ``LITERAL_CENTROID_MAX`` cells, packed 1-row broadcast beyond), then a
+    ``groupBy(cell)`` with ``dim`` ``avg()`` columns: partial aggregation
+    means the shuffle carries n_cells×dim doubles, never the corpus (no
+    explode to N×dim rows). Driver holds only the n_cells×dim centroid
+    table. Means are L2-renormalized (spherical k-means — assignment and
+    search both use dot products on unit vectors); a cell that loses all
+    members keeps its previous centroid.
+
+    Deterministic init (``init`` or vec_ids 1..n_cells); note distributed
+    float ``avg`` is partitioning-order-dependent in the last ulps, so
+    trained results are reproducible per session/partitioning but not
+    bit-pinned across engines — tests assert recall, not bits."""
+    import math
+
+    e = _emb(spark, sf_dir)
+    if init is None:
+        vecs = _small_vecs(spark, sf_dir, need_max=n_cells)
+        init = [(c, vecs[c]) for c in range(1, n_cells + 1)]
+    dim = len(init[0][1])
+    cents = sorted(init)
+    for _ in range(n_iters):
+        if len(cents) <= LITERAL_CENTROID_MAX:
+            assigned = e.withColumn("cell", _argmax_cell_literal(cents))
+        else:
+            assigned = _assign_cells_broadcast(spark, e, cents)
+        means = assigned.groupBy("cell").agg(
+            *[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)]
+        ).collect()
+        new = {}
+        for r in means:
+            m = [float(r[f"m{i}"]) for i in range(dim)]
+            norm = math.sqrt(sum(x * x for x in m))
+            if norm > 0:
+                new[r.cell] = [x / norm for x in m]
+        cents = [(c, new.get(c, cv)) for c, cv in cents]
+    return cents
+
+
 def ivf_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -317,6 +383,7 @@ def ivf_topk(
     n_probe: int = IVF_PROBE,
     query_vec_id: int = QUERY_VEC_ID,
     centroid_path: str | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest coarse centroid
     (argmax dot over ``n_cells`` fixed centroids), probe the ``n_probe``
@@ -339,20 +406,27 @@ def ivf_topk(
 
     At scale the cell id is the partition key: a query touches
     n_probe/n_cells of the data. Output (vec_id, rank, cos).
+
+    ``centroids`` supplies a TRAINED coarse quantizer
+    (:func:`train_ivf_centroids`); the default is the deterministic
+    vec-id-slot stand-in the DuckDB oracle pins.
     """
-    vecs = _small_vecs(spark, sf_dir, need_max=max(query_vec_id, n_cells))
-    qv = vecs[query_vec_id]
-    cents = [(cell, vecs[cell]) for cell in range(1, n_cells + 1)]
+    if centroids is not None:
+        cents = sorted(centroids)
+        n_cells = len(cents)
+        qv = _small_vecs(spark, sf_dir, need_max=query_vec_id)[query_vec_id]
+    else:
+        vecs = _small_vecs(spark, sf_dir, need_max=max(query_vec_id, n_cells))
+        qv = vecs[query_vec_id]
+        cents = [(cell, vecs[cell]) for cell in range(1, n_cells + 1)]
     path = centroid_path or (
         "literal" if n_cells <= LITERAL_CENTROID_MAX else "broadcast"
     )
 
     if path == "literal":
-        cdots = F.array(*[_dot_lit(F.col("v"), cv) for _, cv in cents])
-        # argmax: first index of the max — ties resolve to the smallest
-        # cell, identical to row_number over (desc cdot, asc cell)
-        cell = F.array_position(cdots, F.array_max(cdots)).cast("int")
-        assigned = _emb(spark, sf_dir).withColumn("cell", cell)
+        assigned = _emb(spark, sf_dir).withColumn(
+            "cell", _argmax_cell_literal(cents)
+        )
     else:
         assigned = _assign_cells_broadcast(spark, _emb(spark, sf_dir), cents)
 
@@ -468,6 +542,7 @@ def recall_at_k(
     n_cells: int = IVF_CELLS,
     n_probe: int = IVF_PROBE,
     lsh_probes: int = 1,
+    ivf_centroids: list[tuple[int, list[float]]] | None = None,
 ) -> dict:
     """recall@k of the approximate variants vs exact brute force, averaged
     over ``query_ids`` (reference analog: HNSW quality dial ``ef``,
@@ -497,7 +572,7 @@ def recall_at_k(
             r.vec_id
             for r in ivf_topk(
                 spark, sf_dir, k=k, n_cells=n_cells, n_probe=n_probe,
-                query_vec_id=q,
+                query_vec_id=q, centroids=ivf_centroids,
             ).collect()
         }
         sums["lsh"] += len(got_lsh & truth) / denom
@@ -516,9 +591,12 @@ def recall_at_k(
         },
         "ivf": {
             "recall": round(sums["ivf"] / n, 3),
-            "n_cells": n_cells,
+            "n_cells": len(ivf_centroids) if ivf_centroids else n_cells,
             "n_probe": n_probe,
-            "corpus_fraction_scanned": round(n_probe / n_cells, 4),
+            "trained": ivf_centroids is not None,
+            "corpus_fraction_scanned": round(
+                n_probe / (len(ivf_centroids) if ivf_centroids else n_cells), 4
+            ),
         },
     }
 

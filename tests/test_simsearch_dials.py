@@ -152,3 +152,33 @@ def test_multiprobe_recall_monotone(spark, planted_dir):
     }
     assert r[1] <= r[4] <= r[8]
     assert r[8] >= 0.8
+
+def test_trained_centroids_beat_standin(spark, planted_dir):
+    """Distributed spherical k-means (Lloyd over DataFrame aggs) recovers
+    the planted centers: at the SAME probe budget, trained centroids must
+    match or beat the vec-id-slot stand-in, and converge near the recall
+    the planted geometry supports at probe=1."""
+    trained = S.train_ivf_centroids(spark, planted_dir, n_cells=32, n_iters=5)
+    assert len(trained) == 32 and all(len(cv) == 64 for _, cv in trained)
+    qids = list(range(33, 41))
+    standin = S.recall_at_k(
+        spark, planted_dir, qids, n_cells=32, n_probe=1
+    )["ivf"]["recall"]
+    got = S.recall_at_k(
+        spark, planted_dir, qids, n_probe=1, ivf_centroids=trained
+    )["ivf"]
+    assert got["trained"] and got["n_cells"] == 32
+    assert got["recall"] >= standin
+    assert got["recall"] >= 0.8
+
+
+def test_trained_centroids_all_probes_exact(spark):
+    """Probing every trained cell is still exact brute force — training
+    changes the partition of the corpus, never the candidate math — and
+    arbitrary (non-1..n) cell ids survive the literal argmax's
+    position->id mapping."""
+    trained = S.train_ivf_centroids(spark, SF_DIR, n_cells=6, n_iters=2)
+    relabeled = [(cell * 10 + 3, cv) for cell, cv in trained]
+    bf = _ids(S.bruteforce_topk(spark, SF_DIR).collect())
+    got = S.ivf_topk(spark, SF_DIR, n_probe=6, centroids=relabeled)
+    assert _ids(got.collect()) == bf
