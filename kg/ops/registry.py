@@ -56,11 +56,23 @@ def ops_queries() -> dict[str, QueryFn]:
         "rel_semi_join": relational.suppliers_with_orders,
         "rel_sessionize": relational.sessionize,
         "rel_value_percentiles": relational.value_percentiles,
-        # tail entry (position 51+, outside the driver's 50-query window):
-        # sketch-based, no bit-exact oracle possible — tolerance-pinned vs
-        # the exact operator in tests/test_ops.py
+        # tail entries (position 51+, outside the driver's 50-query
+        # window): no bit-exact oracle possible — the sketch twin is
+        # tolerance-pinned vs the exact operator in tests/test_ops.py;
+        # trained-IVF recall/exactness invariants are pinned in
+        # tests/test_simsearch_dials.py (distributed float avg in the
+        # k-means means is not bit-reproducible across engines)
         "rel_value_percentiles_approx": relational.value_percentiles_approx,
+        "ss_ivf_trained_topk": _ivf_trained_topk,
     }
+
+
+def _ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ss_ivf_topk with a TRAINED coarse quantizer (distributed spherical
+    k-means, kg/ops/simsearch.py::train_ivf_centroids) instead of the
+    vec-id-slot stand-in; same dials as the oracle-pinned variant."""
+    cents = simsearch.train_ivf_centroids(spark, sf_dir, n_iters=3)
+    return simsearch.ivf_topk(spark, sf_dir, centroids=cents)
 
 
 def ops_oracles() -> dict[str, str]:
