@@ -150,3 +150,37 @@ def test_extraction_invariants():
             assert len(out[out["offset"] == i]) == max(0, n_m - 1)
 
     prop()
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1, max_value=1, allow_nan=False, allow_infinity=False
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    st.integers(min_value=1, max_value=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_probe_bucket_sequence_properties(qv, n_probes):
+    """Multi-probe LSH probe sequence (driver-side, pure): starts at the
+    query's own bucket, never repeats a bucket, caps at 2^bits, and
+    enumerates flip-sets in nondecreasing total-|margin| order (the
+    query-directed guarantee that makes early probes the likeliest)."""
+    from kg.ops.simsearch import _probe_buckets
+
+    bits = len(qv)
+    seq = _probe_buckets(qv, bits, n_probes)
+    qbucket = sum((1 << i) for i in range(bits) if qv[i] >= 0)
+    assert seq[0] == qbucket
+    assert len(seq) == len(set(seq)) == min(n_probes, 1 << bits)
+    assert all(0 <= b < (1 << bits) for b in seq)
+
+    def flip_cost(b):
+        diff = b ^ qbucket
+        return sum(abs(qv[i]) for i in range(bits) if diff & (1 << i))
+
+    costs = [flip_cost(b) for b in seq[1:]]
+    for a, b in zip(costs, costs[1:]):
+        assert a <= b + 1e-12
