@@ -151,25 +151,39 @@ def _ranked_topk(scored: DataFrame, k: int = TOP_K) -> DataFrame:
     )
 
 
+def _query_base(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int,
+    query_vec: list[float] | None,
+) -> tuple[list[float], DataFrame]:
+    """(query vector, candidate corpus) for a search call. ``query_vec``
+    is the serving path — an AD-HOC embedding (reference: POST /search
+    embeds the query text then searches; pair with kg.fused embed-on-read
+    for the full flow) — the whole corpus is a candidate. Without it the
+    query is corpus row ``query_vec_id``, excluded from its own result."""
+    if query_vec is not None:
+        return [float(x) for x in query_vec], _emb(spark, sf_dir)
+    qv = _small_vecs(spark, sf_dir, need_max=max(query_vec_id, IVF_CELLS))[
+        query_vec_id
+    ]
+    return qv, _emb(spark, sf_dir).filter(F.col("vec_id") != query_vec_id)
+
+
 def bruteforce_topk(
     spark: SparkSession,
     sf_dir: str,
     k: int = TOP_K,
     query_vec_id: int = QUERY_VEC_ID,
+    query_vec: list[float] | None = None,
 ) -> DataFrame:
     """Exact top-k: (vec_id, rank, cos). One scan, per-row literal dot,
     parallel top-k — no joins, no shuffles before the final k-row merge.
     ``k`` is the sensitivity dial (reference ``bench/topKSensitivity.py``:
     k∈{5..320}); cost is flat in k because TakeOrderedAndProject keeps a
     size-k heap per partition instead of globally sorting."""
-    qv = _small_vecs(spark, sf_dir, need_max=max(query_vec_id, IVF_CELLS))[
-        query_vec_id
-    ]
-    scored = (
-        _emb(spark, sf_dir)
-        .filter(F.col("vec_id") != query_vec_id)
-        .withColumn("cos", F.round(_dot_lit(F.col("v"), qv), 4))
-    )
+    qv, base = _query_base(spark, sf_dir, query_vec_id, query_vec)
+    scored = base.withColumn("cos", F.round(_dot_lit(F.col("v"), qv), 4))
     return _ranked_topk(scored, k)
 
 
@@ -238,6 +252,7 @@ def lsh_topk(
     sign_bits: int = SEARCH_SIGN_BITS,
     query_vec_id: int = QUERY_VEC_ID,
     n_probes: int = 1,
+    query_vec: list[float] | None = None,
 ) -> DataFrame:
     """Approximate top-k within the query's sign bucket(s). The probe
     buckets are literals (computed driver-side from the collected query
@@ -256,17 +271,11 @@ def lsh_topk(
     buckets in margin order instead of the classic fix of L independent
     tables — same recall lever, no L× index duplication (Lv et al. 2007).
     ``n_probes == 2^sign_bits`` degenerates to exact brute force."""
-    qv = _small_vecs(spark, sf_dir, need_max=max(query_vec_id, IVF_CELLS))[
-        query_vec_id
-    ]
+    qv, base = _query_base(spark, sf_dir, query_vec_id, query_vec)
     buckets = _probe_buckets(qv, sign_bits, n_probes)
-    e = _emb(spark, sf_dir).withColumn(
-        "bucket", _sign_bucket(F.col("v"), sign_bits)
-    )
     scored = (
-        e.filter(
-            F.col("bucket").isin(buckets) & (F.col("vec_id") != query_vec_id)
-        )
+        base.withColumn("bucket", _sign_bucket(F.col("v"), sign_bits))
+        .filter(F.col("bucket").isin(buckets))
         .withColumn("cos", F.round(_dot_lit(F.col("v"), qv), 4))
     )
     return _ranked_topk(scored, k)
@@ -286,41 +295,74 @@ def _argmax_cell_literal(cents: list[tuple[int, list[float]]]):
     return F.element_at(ids, pos.cast("int")).cast("int")
 
 
+# One packed 1-row broadcast holds this many centroids at most; larger
+# quantizers (cells ~ sqrt(N) reaches 10^6 at 10^12 vectors) are split
+# into shards, each its own 1-row broadcast, combined with a per-row max
+# — bounding any single broadcast row / codegen expression while staying
+# shuffle-free (a multi-ROW centroid table would need a cross join that
+# multiplies the corpus by the shard count and a groupBy(vec_id) shuffle
+# to undo it; chained 1-row joins never touch the corpus partitioning).
+CENTROID_SHARD = 65_536
+
+
 def _assign_cells_broadcast(
-    spark: SparkSession, e: DataFrame, cents: list[tuple[int, list[float]]]
+    spark: SparkSession,
+    e: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    shard_size: int = CENTROID_SHARD,
 ) -> DataFrame:
     """Nearest-centroid assignment for centroid sets too large to inline
-    as literals: pack the centroid table into ONE row (array of structs),
-    broadcast it (BroadcastNestedLoopJoin of a 1-row side — no shuffle),
-    and pick the argmax per data row with array HOFs.
+    as literals: pack the centroid table into ONE row per shard (array of
+    structs), broadcast each (BroadcastNestedLoopJoin of a 1-row side —
+    no shuffle), take the per-shard argmax with array HOFs, and combine
+    shards with ``array_max`` over the per-shard bests.
 
     Tie-break parity with the literal path: ``array_max`` over
     struct(dot, -cell) orders by dot first, then by -cell, so equal dots
     resolve to the SMALLEST cell — identical to array_position-of-max
-    (first occurrence) and to the oracle's row_number(desc dot, asc cell).
-    Scales to ~10^5 centroids (centroid bytes x 1 row broadcast); beyond
-    that, shard the centroid array and take the max of per-shard maxes."""
-    # one literal row built driver-side (centroids are already collected),
-    # so the broadcast side needs no aggregation — and thus no Exchange
-    packed = spark.createDataFrame(
-        [([(cell, cv) for cell, cv in cents],)],
-        "_cents array<struct<cell: int, cv: array<double>>>",
-    )
-    joined = e.join(F.broadcast(packed))
-    best = F.array_max(
-        F.transform(
-            "_cents",
-            lambda c: F.struct(
-                F.aggregate(
-                    F.zip_with(F.col("v"), c["cv"], lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                ).alias("d"),
-                (-c["cell"]).alias("negcell"),
-            ),
+    (first occurrence) and to the oracle's row_number(desc dot, asc cell);
+    the cross-shard max applies the same ordering, so sharding is
+    result-invariant (tested against the literal path)."""
+
+    def shard_best(col_name: str):
+        return F.array_max(
+            F.transform(
+                col_name,
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(F.col("v"), c["cv"], lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    ).alias("d"),
+                    (-c["cell"]).alias("negcell"),
+                ),
+            )
         )
+
+    best_cols = []
+    for si in range(0, max(1, len(cents)), shard_size):
+        shard = cents[si : si + shard_size]
+        name = f"_cents_{si}"
+        # one literal row built driver-side (centroids are already
+        # collected), so the broadcast side needs no aggregation — and
+        # thus no Exchange
+        packed = spark.createDataFrame(
+            [([(cell, cv) for cell, cv in shard],)],
+            f"{name} array<struct<cell: int, cv: array<double>>>",
+        )
+        bname = f"_best_{si}"
+        e = (
+            e.join(F.broadcast(packed))
+            .withColumn(bname, shard_best(name))
+            .drop(name)
+        )
+        best_cols.append(bname)
+    best = (
+        F.array_max(F.array(*[F.col(b) for b in best_cols]))
+        if len(best_cols) > 1
+        else F.col(best_cols[0])
     )
-    return joined.withColumn("cell", (-best["negcell"]).cast("int")).drop("_cents")
+    return e.withColumn("cell", (-best["negcell"]).cast("int")).drop(*best_cols)
 
 
 def train_ivf_centroids(
@@ -384,6 +426,8 @@ def ivf_topk(
     query_vec_id: int = QUERY_VEC_ID,
     centroid_path: str | None = None,
     centroids: list[tuple[int, list[float]]] | None = None,
+    query_vec: list[float] | None = None,
+    centroid_shard: int = CENTROID_SHARD,
 ) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest coarse centroid
     (argmax dot over ``n_cells`` fixed centroids), probe the ``n_probe``
@@ -414,21 +458,20 @@ def ivf_topk(
     if centroids is not None:
         cents = sorted(centroids)
         n_cells = len(cents)
-        qv = _small_vecs(spark, sf_dir, need_max=query_vec_id)[query_vec_id]
     else:
         vecs = _small_vecs(spark, sf_dir, need_max=max(query_vec_id, n_cells))
-        qv = vecs[query_vec_id]
         cents = [(cell, vecs[cell]) for cell in range(1, n_cells + 1)]
+    qv, base = _query_base(spark, sf_dir, query_vec_id, query_vec)
     path = centroid_path or (
         "literal" if n_cells <= LITERAL_CENTROID_MAX else "broadcast"
     )
 
     if path == "literal":
-        assigned = _emb(spark, sf_dir).withColumn(
-            "cell", _argmax_cell_literal(cents)
-        )
+        assigned = base.withColumn("cell", _argmax_cell_literal(cents))
     else:
-        assigned = _assign_cells_broadcast(spark, _emb(spark, sf_dir), cents)
+        assigned = _assign_cells_broadcast(
+            spark, base, cents, shard_size=centroid_shard
+        )
 
     probe = sorted(
         ((-_py_dot(qv, cv), c) for c, cv in cents)
@@ -436,9 +479,7 @@ def ivf_topk(
     probe_cells = [c for _, c in probe]
 
     scored = (
-        assigned.filter(
-            F.col("cell").isin(probe_cells) & (F.col("vec_id") != query_vec_id)
-        )
+        assigned.filter(F.col("cell").isin(probe_cells))
         .withColumn("cos", F.round(_dot_lit(F.col("v"), qv), 4))
     )
     return _ranked_topk(scored, k)

@@ -182,3 +182,41 @@ def test_trained_centroids_all_probes_exact(spark):
     bf = _ids(S.bruteforce_topk(spark, SF_DIR).collect())
     got = S.ivf_topk(spark, SF_DIR, n_probe=6, centroids=relabeled)
     assert _ids(got.collect()) == bf
+
+def test_sharded_centroid_assignment_equals_literal(spark):
+    """centroid_shard=3 splits the 8 stand-in centroids into 3 packed
+    1-row broadcasts; the chained per-shard maxes must be result-identical
+    to the literal path (the cross-shard array_max applies the same
+    struct(dot, -cell) ordering), and the plan must stay shuffle-free —
+    one BroadcastNestedLoopJoin per shard, no corpus Exchange."""
+    a = S.ivf_topk(spark, SF_DIR, centroid_path="literal").collect()
+    df = S.ivf_topk(
+        spark, SF_DIR, centroid_path="broadcast", centroid_shard=3
+    )
+    assert df.collect() == a
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p.replace("BroadcastExchange", ""), p
+    # AQE's final-plan string renders each query-stage subtree twice, so
+    # count >= shards rather than == (shuffle-freedom is the real claim)
+    assert p.count("BroadcastNestedLoopJoin") >= 3, p
+
+
+def test_query_vec_serving_path(spark):
+    """Ad-hoc query vectors (the serving path: embed-on-read then search):
+    querying with the VALUE of corpus vector 7 must return vec 7 itself at
+    rank 1 with cos ~ 1 in every variant — with query_vec the corpus is
+    not self-excluded."""
+    v7 = [
+        float(x)
+        for x in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter("vec_id = 7")
+        .collect()[0]
+        .embedding
+    ]
+    for fn, kw in (
+        (S.bruteforce_topk, {}),
+        (S.lsh_topk, {}),
+        (S.ivf_topk, {}),
+    ):
+        top = fn(spark, SF_DIR, query_vec=v7, **kw).collect()[0]
+        assert top.vec_id == 7 and top.rank == 1 and top.cos >= 0.999, (fn, top)
