@@ -7,7 +7,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kg.ops import dedup, media, relational, simsearch, textfns, textstats
+from kg.ops import dedup, embed, media, relational, simsearch, textfns, textstats
 from kg.streaming import windowed_event_counts_batch, windowed_event_counts_sql
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -64,6 +64,11 @@ def ops_queries() -> dict[str, QueryFn]:
         # k-means means is not bit-reproducible across engines)
         "rel_value_percentiles_approx": relational.value_percentiles_approx,
         "ss_ivf_trained_topk": _ivf_trained_topk,
+        # §3.2 enrichment-pipeline analog — fully oracle-checked (signed
+        # feature hashing, kg/ops/embed.py) despite sitting past the
+        # driver window
+        "fn_embed_documents": embed.embed_flat,
+        "ss_text_query_topk": embed.text_query_topk,
     }
 
 
@@ -111,4 +116,6 @@ def ops_oracles() -> dict[str, str]:
         "rel_semi_join": relational.suppliers_with_orders_sql(),
         "rel_sessionize": relational.sessionize_sql(),
         "rel_value_percentiles": relational.value_percentiles_sql(),
+        "fn_embed_documents": embed.embed_flat_sql(),
+        "ss_text_query_topk": embed.text_query_topk_sql(),
     }

@@ -87,3 +87,33 @@ def test_value_percentiles_approx_matches_exact(spark):
             lo = round(v[max(0, int(np.floor(pos)) - 2)], 4)
             hi = round(v[min(n - 1, int(np.ceil(pos)) + 2)], 4)
             assert lo <= got <= hi, (et, p, got, lo, hi)
+
+
+def test_embed_documents_shuffle_free_and_edges(spark, tmp_path):
+    """The text->embedding operator is per-row native expressions: its
+    plan holds NO Exchange (a 100 TB encode job is embarrassingly
+    parallel); token-less/whitespace/NULL text embeds to the zero vector
+    (parity with the oracle's LEFT JOIN path); real text embeds to a unit
+    vector (up to 4-dp component rounding)."""
+    import math
+
+    from kg.ops import embed as E
+
+    spark.createDataFrame(
+        [(1, "hello world hello"), (2, "   "), (3, None)],
+        "doc_id long, text string",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    df = E.embed_documents(spark, str(tmp_path))
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+    rows = {r.doc_id: list(r.v) for r in df.collect()}
+    assert rows[2] == [0.0] * E.EMBED_DIM
+    assert rows[3] == [0.0] * E.EMBED_DIM
+    n = math.sqrt(sum(x * x for x in rows[1]))
+    assert abs(n - 1.0) < 5e-3
+    # deterministic: same text -> same vector, independent of doc_id
+    spark.createDataFrame(
+        [(99, "hello world hello")], "doc_id long, text string"
+    ).write.parquet(f"{tmp_path}/d2/documents.parquet")
+    again = E.embed_documents(spark, f"{tmp_path}/d2").collect()[0]
+    assert list(again.v) == rows[1]
