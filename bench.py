@@ -178,16 +178,17 @@ def main() -> None:
         write_planted_embeddings(fx_dir)
         qids = list(range(33, 49))  # 16 non-centroid members
         sweep = {}
+        # each sweep point varies ONE dial and runs ONLY that variant;
+        # exact ground truth is cached inside recall_at_k per (query, k)
         for probe in (1, 2, 4, 8):
             r = recall_at_k(
-                spark, fx_dir, qids, sign_bits=4, n_cells=32, n_probe=probe
+                spark, fx_dir, qids, n_cells=32, n_probe=probe,
+                variants=("ivf",),
             )
             sweep[f"ivf_probe_{probe}"] = r["ivf"]
-            if probe == 4:
-                sweep["lsh_bits_4"] = r["lsh"]
-        for bits in (2, 6):
+        for bits in (2, 4, 6):
             r = recall_at_k(
-                spark, fx_dir, qids, sign_bits=bits, n_cells=32, n_probe=4
+                spark, fx_dir, qids, sign_bits=bits, variants=("lsh",)
             )
             sweep[f"lsh_bits_{bits}"] = r["lsh"]
         # multi-probe is LSH's recall dial (the IVF-probe analog): same
@@ -195,8 +196,8 @@ def main() -> None:
         # probes/2^bits instead of needing L independent tables
         for probes in (2, 4, 8):
             r = recall_at_k(
-                spark, fx_dir, qids, sign_bits=4, n_cells=32, n_probe=1,
-                lsh_probes=probes,
+                spark, fx_dir, qids, sign_bits=4, lsh_probes=probes,
+                variants=("lsh",),
             )
             sweep[f"lsh_bits_4_probe_{probes}"] = r["lsh"]
         # trained coarse quantizer (distributed spherical k-means) vs the
@@ -206,7 +207,8 @@ def main() -> None:
         trained = train_ivf_centroids(spark, fx_dir, n_cells=32, n_iters=5)
         for probe in (1, 2):
             r = recall_at_k(
-                spark, fx_dir, qids, n_probe=probe, ivf_centroids=trained
+                spark, fx_dir, qids, n_probe=probe, ivf_centroids=trained,
+                variants=("ivf",),
             )
             sweep[f"ivf_trained_probe_{probe}"] = r["ivf"]
         floor = recall_at_k(spark, sf_dir, qids[:8])

@@ -55,13 +55,23 @@ def embed_documents(
         F.split(F.coalesce(F.col("text"), F.lit("")), " "),
         lambda w: w != F.lit(""),
     )
-    counts = F.aggregate(
+    # hash each token ONCE into (dim index, sign) before the fold — HOF
+    # lambdas are interpreted with no common-subexpression elimination,
+    # so folding over raw tokens would recompute the md5 pair for every
+    # one of the `dim` accumulator slots (2 hashes/token, not 2*dim)
+    hashed = F.transform(
         toks,
+        lambda t: F.struct(
+            _tok_idx(t, dim).alias("d"), _tok_sign(t).alias("sgn")
+        ),
+    )
+    counts = F.aggregate(
+        hashed,
         F.array_repeat(F.lit(0).cast("long"), dim),
-        lambda acc, t: F.transform(
+        lambda acc, h: F.transform(
             acc,
             lambda x, i: x
-            + F.when(_tok_idx(t, dim) == i, _tok_sign(t).cast("long")).otherwise(
+            + F.when(h["d"] == i, h["sgn"].cast("long")).otherwise(
                 F.lit(0).cast("long")
             ),
         ),

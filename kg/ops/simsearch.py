@@ -91,6 +91,10 @@ def ivf_dials(n_vectors: int) -> tuple[int, int]:
 # collected so far — a request past it re-collects with the wider filter.
 _VEC_CACHE: dict[tuple[int, str], tuple[int, dict[int, list[float]]]] = {}
 
+# exact-top-k ground truth per (session, sf_dir, query, k) for recall
+# sweeps — k result ids per entry, dictionary-sized like _VEC_CACHE
+_TRUTH_CACHE: dict[tuple[int, str, int, int], set] = {}
+
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
@@ -584,53 +588,67 @@ def recall_at_k(
     n_probe: int = IVF_PROBE,
     lsh_probes: int = 1,
     ivf_centroids: list[tuple[int, list[float]]] | None = None,
+    variants: tuple[str, ...] = ("lsh", "ivf"),
 ) -> dict:
     """recall@k of the approximate variants vs exact brute force, averaged
     over ``query_ids`` (reference analog: HNSW quality dial ``ef``,
     ``bench/topKSensitivity.py:36-42`` — the reference's acceptance
     criterion for search is quality+latency, not latency alone).
 
+    Bench sweeps call this repeatedly varying one dial at a time, so the
+    exact ground truth is cached per (session, sf_dir, query, k) and
+    ``variants`` gates which approximate searches run — without both, a
+    12-point sweep redoes ~190 identical brute-force jobs and as many
+    unread off-variant searches.
+
     NOTE on fixtures: the sandbox sf* embeddings are RANDOM unit vectors
     (max pairwise cos ~0.48), so ANY bucketing ANN has chance-level recall
     on them BY CONSTRUCTION — measure on a planted-cluster fixture
     (kg.synth.write_planted_embeddings) for a meaningful number; the
     random-corpus number is reported alongside as the floor."""
-    sums = {"lsh": 0.0, "ivf": 0.0}
+    sums = {v: 0.0 for v in variants}
     for q in query_ids:
-        truth = {
-            r.vec_id
-            for r in bruteforce_topk(spark, sf_dir, k=k, query_vec_id=q).collect()
-        }
+        tkey = (id(spark), sf_dir, q, k)
+        if tkey not in _TRUTH_CACHE:
+            _TRUTH_CACHE[tkey] = {
+                r.vec_id
+                for r in bruteforce_topk(
+                    spark, sf_dir, k=k, query_vec_id=q
+                ).collect()
+            }
+        truth = _TRUTH_CACHE[tkey]
         denom = max(1, len(truth))
-        got_lsh = {
-            r.vec_id
-            for r in lsh_topk(
-                spark, sf_dir, k=k, sign_bits=sign_bits, query_vec_id=q,
-                n_probes=lsh_probes,
-            ).collect()
-        }
-        got_ivf = {
-            r.vec_id
-            for r in ivf_topk(
-                spark, sf_dir, k=k, n_cells=n_cells, n_probe=n_probe,
-                query_vec_id=q, centroids=ivf_centroids,
-            ).collect()
-        }
-        sums["lsh"] += len(got_lsh & truth) / denom
-        sums["ivf"] += len(got_ivf & truth) / denom
+        if "lsh" in variants:
+            got = {
+                r.vec_id
+                for r in lsh_topk(
+                    spark, sf_dir, k=k, sign_bits=sign_bits, query_vec_id=q,
+                    n_probes=lsh_probes,
+                ).collect()
+            }
+            sums["lsh"] += len(got & truth) / denom
+        if "ivf" in variants:
+            got = {
+                r.vec_id
+                for r in ivf_topk(
+                    spark, sf_dir, k=k, n_cells=n_cells, n_probe=n_probe,
+                    query_vec_id=q, centroids=ivf_centroids,
+                ).collect()
+            }
+            sums["ivf"] += len(got & truth) / denom
     n = max(1, len(query_ids))
-    return {
-        "k": k,
-        "n_queries": len(query_ids),
-        "lsh": {
+    out: dict = {"k": k, "n_queries": len(query_ids)}
+    if "lsh" in variants:
+        out["lsh"] = {
             "recall": round(sums["lsh"] / n, 3),
             "sign_bits": sign_bits,
             "n_probes": lsh_probes,
             "corpus_fraction_scanned": round(
                 min(1.0, lsh_probes * 0.5 ** sign_bits), 4
             ),
-        },
-        "ivf": {
+        }
+    if "ivf" in variants:
+        out["ivf"] = {
             "recall": round(sums["ivf"] / n, 3),
             "n_cells": len(ivf_centroids) if ivf_centroids else n_cells,
             "n_probe": n_probe,
@@ -638,8 +656,8 @@ def recall_at_k(
             "corpus_fraction_scanned": round(
                 n_probe / (len(ivf_centroids) if ivf_centroids else n_cells), 4
             ),
-        },
-    }
+        }
+    return out
 
 
 def lsh_topk_sql() -> str:

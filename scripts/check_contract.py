@@ -59,7 +59,12 @@ def main() -> None:
             failures.append(name)
             print(f"[{name}] DUCKDB ERROR: {str(e)[:300]}")
             continue
-        ok = a.shape == b.shape and list(a.columns) == list(b.columns)
+        ok = shape_ok = a.shape == b.shape and list(a.columns) == list(b.columns)
+        if not shape_ok:
+            print(
+                f"[{name}] SHAPE spark={a.shape}{list(a.columns)} "
+                f"duck={b.shape}{list(b.columns)}"
+            )
         if ok:
             try:
                 pd.testing.assert_frame_equal(a, b, check_dtype=False)
@@ -82,11 +87,6 @@ def main() -> None:
                         f"duck={b[col].dtype} — driver hash would mismatch "
                         f"(cast the oracle, e.g. CAST(... AS BIGINT))"
                     )
-        else:
-            print(
-                f"[{name}] SHAPE spark={a.shape}{list(a.columns)} "
-                f"duck={b.shape}{list(b.columns)}"
-            )
         if not ok:
             failures.append(name)
             print(" spark:\n", a.head(3).to_string())
