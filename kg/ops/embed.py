@@ -43,16 +43,15 @@ def _tok_sign(t):
     return (F.conv(F.substring(F.md5(t), 3, 1), 16, 10).cast("int") % 2) * 2 - 1
 
 
-def embed_documents(
-    spark: SparkSession, sf_dir: str, dim: int = EMBED_DIM
-) -> DataFrame:
-    """(doc_id, v: array<double>) — unit-norm signed-feature-hash
-    embedding of every document; token-less documents embed to the zero
-    vector. One scan, per-row fold, no shuffle."""
+def embed_text_col(text_col, dim: int = EMBED_DIM):
+    """Column-level encoder: text column -> array<double> embedding. A
+    stateless per-row expression, so it composes unchanged with batch
+    scans AND Structured Streaming micro-batches (stream == batch is
+    asserted in tests/test_streaming.py)."""
     # COALESCE keeps NULL text on the zero-vector path (parity with the
     # oracle's LEFT JOIN, which cannot distinguish NULL from token-less)
     toks = F.filter(
-        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        F.split(F.coalesce(text_col, F.lit("")), " "),
         lambda w: w != F.lit(""),
     )
     # hash each token ONCE into (dim index, sign) before the fold — HOF
@@ -76,18 +75,31 @@ def embed_documents(
             ),
         ),
     )
-    d = _docs(spark, sf_dir).select("doc_id", counts.alias("s"))
-    norm2 = F.aggregate(
-        F.col("s"), F.lit(0).cast("long"), lambda a, x: a + x * x
+    # bind the fold result ONCE via a 1-element array lambda — inlining
+    # `counts` into both the norm and the normalize transform would
+    # re-evaluate the md5 fold per reference (no CSE across expressions)
+    def normalize(s):
+        norm2 = F.aggregate(s, F.lit(0).cast("long"), lambda a, x: a + x * x)
+        norm = F.sqrt(norm2.cast("double"))
+        return F.transform(
+            s,
+            lambda x: F.when(norm2 == 0, F.lit(0.0)).otherwise(
+                F.round(x.cast("double") / norm, 4)
+            ),
+        )
+
+    return F.element_at(F.transform(F.array(counts), normalize), 1)
+
+
+def embed_documents(
+    spark: SparkSession, sf_dir: str, dim: int = EMBED_DIM
+) -> DataFrame:
+    """(doc_id, v: array<double>) — unit-norm signed-feature-hash
+    embedding of every document; token-less documents embed to the zero
+    vector. One scan, per-row fold, no shuffle."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", embed_text_col(F.col("text"), dim).alias("v")
     )
-    norm = F.sqrt(norm2.cast("double"))
-    v = F.transform(
-        "s",
-        lambda x: F.when(norm2 == 0, F.lit(0.0)).otherwise(
-            F.round(x.cast("double") / norm, 4)
-        ),
-    )
-    return d.select("doc_id", v.alias("v"))
 
 
 def embed_flat(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -103,3 +103,41 @@ def test_stateful_dedup_ttl_actually_expires(spark, tmp_path):
     assert texts == ["first", "second"], texts
     # the within-TTL guarantee still held for doc 99 (emitted once)
     assert got.filter("doc_id = 99").count() == 1
+
+
+def test_streaming_embed_equals_batch(spark, tmp_path):
+    """The text->embedding encoder is a stateless per-row expression, so
+    it runs UNCHANGED inside a Structured Streaming micro-batch — the
+    enrichment pipeline's streaming twin (encode documents as they
+    arrive). Stream output must equal the batch embedding of the same
+    corpus."""
+    from kg.ops.embed import embed_documents, embed_text_col
+
+    src_dir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"tok{i % 7} alpha beta tok{i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    ).write.parquet(f"{src_dir}/documents.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(f"{src_dir}/documents.parquet")
+        .select("doc_id", embed_text_col(F.col("text")).alias("v"))
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.doc_id: list(r.v)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    want = {
+        r.doc_id: list(r.v) for r in embed_documents(spark, src_dir).collect()
+    }
+    assert got == want and len(got) == 40
