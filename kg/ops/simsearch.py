@@ -489,6 +489,72 @@ def ivf_topk(
     return _ranked_topk(scored, k)
 
 
+def build_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    n_cells: int = IVF_CELLS,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> str:
+    """Materialize the IVF layout the at-scale search story assumes:
+    vectors written ``partitionBy("cell")`` so the cell id IS the storage
+    partition key, plus the centroid table as JSON alongside (driver-
+    sized: n_cells×dim). A query then reads ONLY its probed cells via
+    parquet partition pruning — the scan never touches the other
+    n_cells - n_probe directories (plan-gated in tests). Returns
+    ``index_dir``. ``centroids`` defaults to the vec-id-slot stand-in;
+    pass :func:`train_ivf_centroids` output for the trained quantizer."""
+    import json
+    import os
+
+    if centroids is None:
+        vecs = _small_vecs(spark, sf_dir, need_max=n_cells)
+        centroids = [(c, vecs[c]) for c in range(1, n_cells + 1)]
+    cents = sorted(centroids)
+    if len(cents) <= LITERAL_CENTROID_MAX:
+        assigned = _emb(spark, sf_dir).withColumn(
+            "cell", _argmax_cell_literal(cents)
+        )
+    else:
+        assigned = _assign_cells_broadcast(spark, _emb(spark, sf_dir), cents)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{index_dir}/vectors"
+    )
+    os.makedirs(index_dir, exist_ok=True)
+    with open(f"{index_dir}/centroids.json", "w") as f:
+        json.dump(cents, f)
+    return index_dir
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = TOP_K,
+    n_probe: int = IVF_PROBE,
+) -> DataFrame:
+    """Search a :func:`build_ivf_index` layout: probe cells are computed
+    driver-side from the stored centroids and pushed as a partition-key
+    IN-filter, so the FileScan holds ``PartitionFilters: [cell IN (...)]``
+    and reads n_probe of n_cells directories — at 10^12 vectors the query
+    cost is the probed fraction of the corpus, independent of total
+    corpus size. Result-identical to :func:`ivf_topk` with the same
+    centroids (tested)."""
+    import json
+
+    with open(f"{index_dir}/centroids.json") as f:
+        cents = [(int(c), [float(x) for x in cv]) for c, cv in json.load(f)]
+    qv = [float(x) for x in query_vec]
+    probe = sorted(((-_py_dot(qv, cv), c) for c, cv in cents))[:n_probe]
+    probe_cells = [c for _, c in probe]
+    scored = (
+        spark.read.parquet(f"{index_dir}/vectors")
+        .filter(F.col("cell").isin(probe_cells))
+        .withColumn("cos", F.round(_dot_lit(F.col("v"), qv), 4))
+    )
+    return _ranked_topk(scored, k)
+
+
 def ivf_topk_sql() -> str:
     return f"""
 WITH e AS (

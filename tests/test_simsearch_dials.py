@@ -220,3 +220,49 @@ def test_query_vec_serving_path(spark):
     ):
         top = fn(spark, SF_DIR, query_vec=v7, **kw).collect()[0]
         assert top.vec_id == 7 and top.rank == 1 and top.cos >= 0.999, (fn, top)
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The materialized IVF layout: vectors partitioned by cell on disk,
+    probe cells pushed as PartitionFilters — the scan lists only
+    n_probe/n_cells directories (the property that makes query cost
+    independent of corpus size). Results must equal the in-memory
+    ivf_topk with the same (stand-in) centroids, and self-query via
+    query_vec must rank the vector itself first."""
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(spark, SF_DIR, idx)
+    qv = S._small_vecs(spark, SF_DIR, need_max=S.IVF_CELLS)[0]
+    df = S.ivf_topk_indexed(spark, idx, qv, n_probe=S.IVF_PROBE)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in p and "cell" in p.split("PartitionFilters")[1][:120], p
+    got = df.collect()
+    # rank 1 is vec 0 itself (query_vec path does not self-exclude)
+    assert got[0].vec_id == 0 and got[0].cos >= 0.999
+    # equality with the un-indexed operator modulo the self-row: drop it
+    # and compare the next TOP_K-1 ids/scores
+    want = S.ivf_topk(spark, SF_DIR, n_probe=S.IVF_PROBE).collect()
+    assert [(r.vec_id, r.cos) for r in got[1:]] == [
+        (r.vec_id, r.cos) for r in want[: len(got) - 1]
+    ]
+    # pruning is real, proven behaviorally: CORRUPT every file in a
+    # NON-probed cell directory — the pruned query never OPENS them and
+    # still returns the same rows, while an unpruned scan of the same
+    # index (which must read them) fails on the bad parquet footer
+    import glob
+    import json
+
+    import pytest as _pytest
+
+    with open(f"{idx}/centroids.json") as f:
+        cents = [(int(c), cv) for c, cv in json.load(f)]
+    probe = sorted(((-S._py_dot(qv, cv), c) for c, cv in cents))[: S.IVF_PROBE]
+    probed_cells = {c for _, c in probe}
+    victim = next(c for c, _ in cents if c not in probed_cells)
+    for fpath in glob.glob(f"{idx}/vectors/cell={victim}/*.parquet"):
+        with open(fpath, "wb") as fh:
+            fh.write(b"not a parquet file")
+    again = S.ivf_topk_indexed(spark, idx, qv, n_probe=S.IVF_PROBE).collect()
+    assert again == got
+    with _pytest.raises(Exception):
+        spark.read.parquet(f"{idx}/vectors").selectExpr(
+            "sum(vec_id)"
+        ).collect()
