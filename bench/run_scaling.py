@@ -45,11 +45,10 @@ HW_NOTE = (
     "4->16 = 3.36x (0.841), 8->32 = 3.02x (0.755) - SMT/turbo/memory-"
     "bandwidth effects a real cluster of separate hosts does not have. "
     "The 2->8 pair is therefore used for the gate (least distorted). "
-    "Supplementary 8->32 weighted single runs (round 2, current code): "
-    "9,136 -> 23,293 triples/s = 2.55x, eff 0.637 = 84% of that pair's "
-    "3.02x machine ceiling (the round-2 fixed-cost cuts made the job "
-    "faster overall, which raises the share of wall that is single-box "
-    "I/O/scheduling the extra threads cannot parallelize)."
+    "Supplementary 8->32 weighted single runs (round 3, current code): "
+    "9,654 -> 25,776 triples/s = 2.67x, eff 0.667 = 88% of that pair's "
+    "3.02x machine ceiling (single-box I/O/scheduling that extra threads "
+    "cannot parallelize accounts for the rest)."
 )
 
 
