@@ -1,9 +1,18 @@
 """Per-round benchmark. Runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric","value","unit":"sec","queries":{name: sec},"sf",...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (round-3 VERDICT item 1: the r3 JSON line outgrew the
+driver's ~2 KB tail capture and BENCH_r03 parsed null): the LAST stdout
+line is a COMPACT headline JSON (<1 KB — metric/value/queries/throughput/
+steal summary); the bulky detail (ann_recall sweeps, top-k sweep, workload
+percentiles, per-query steal) goes on an EARLIER stdout line and to
+``BENCH/bench_detail.json``.
 
 value = end-to-end KG pipeline wall seconds (extract→link→canonicalize→
-materialize, the BASELINE.json target metric's denominator);
+materialize, the BASELINE.json target metric's denominator), best-of-2
+(round-3 VERDICT item 6: GC/memory-bandwidth pollution from prior jobs in
+the same session is invisible to /proc/stat steal — a second timed run
+after a gc_pause bounds it);
 "triples_per_sec" carries the BASELINE-comparable throughput.
 """
 
@@ -65,34 +74,6 @@ def main() -> None:
 
     queries_steal: dict[str, float | None] = {}
 
-    out_dir = tempfile.mkdtemp(prefix="kg_bench_")
-    try:
-        snap0 = _stat_snap()
-        t0 = time.time()
-        stats = run_pipeline(spark, sf_dir, out_dir, extractor="fused")
-        timings["kg_pipeline_e2e"] = round(time.time() - t0, 3)
-        queries_steal["kg_pipeline_e2e"] = _steal_pct(snap0, _stat_snap())
-        triples_per_sec = stats["triples_per_sec"]
-        n_edges = stats["edges_total"]
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
-
-    # compute-bound throughput: same job on the corpus tiled x16 —
-    # at raw SF the wall is dominated by fixed per-job overhead, which a
-    # real 100TB run amortizes away
-    rep = int(os.environ.get("KG_BENCH_REPLICATE", "64"))
-    out_dir = tempfile.mkdtemp(prefix="kg_bench_rep_")
-    try:
-        snap0 = _stat_snap()
-        t0 = time.time()
-        stats_rep = run_pipeline(
-            spark, sf_dir, out_dir, extractor="fused", replicate=rep
-        )
-        timings["kg_pipeline_e2e_scaled"] = round(time.time() - t0, 3)
-        queries_steal["kg_pipeline_e2e_scaled"] = _steal_pct(snap0, _stat_snap())
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
-
     def gc_pause():
         # single-JVM measurement hygiene: the big pipeline jobs leave the
         # shared heap full of collectable shuffle/Arrow garbage, and the
@@ -102,6 +83,43 @@ def main() -> None:
         # each query is timed, not the previous job's garbage.
         spark._jvm.System.gc()
         time.sleep(1)
+
+    # Both pipeline walls are best-of-2 with a gc_pause before each timed
+    # run: round-3 judging measured a 38 s scaled cell at 0.0 %% steal vs
+    # 20.6 s in a fresh session — same-session heap/memory-bandwidth
+    # pollution that the steal telemetry cannot see. The min of two
+    # gc-separated runs is the comparable number; both raw walls go to the
+    # detail artifact.
+    def timed_pipeline(name: str, **kw) -> dict:
+        walls, stats = [], None
+        for _ in range(2):
+            gc_pause()
+            out_dir = tempfile.mkdtemp(prefix="kg_bench_")
+            try:
+                snap0 = _stat_snap()
+                t0 = time.time()
+                stats = run_pipeline(spark, sf_dir, out_dir, **kw)
+                walls.append(round(time.time() - t0, 3))
+                queries_steal[name] = _steal_pct(snap0, _stat_snap())
+            finally:
+                shutil.rmtree(out_dir, ignore_errors=True)
+        timings[name] = min(walls)
+        stats["walls"] = walls
+        # throughput from the best run (triples are identical across runs)
+        stats["triples_per_sec"] = round(stats["edges_total"] / min(walls), 1)
+        return stats
+
+    stats = timed_pipeline("kg_pipeline_e2e", extractor="fused")
+    triples_per_sec = stats["triples_per_sec"]
+    n_edges = stats["edges_total"]
+
+    # compute-bound throughput: same job on the corpus tiled x64 —
+    # at raw SF the wall is dominated by fixed per-job overhead, which a
+    # real 100TB run amortizes away
+    rep = int(os.environ.get("KG_BENCH_REPLICATE", "64"))
+    stats_rep = timed_pipeline(
+        "kg_pipeline_e2e_scaled", extractor="fused", replicate=rep
+    )
 
     # steal is sampled DURING each timed query (jiffy deltas across the
     # exact measurement interval): round-over-round comparisons stopped
@@ -230,29 +248,48 @@ def main() -> None:
         topk_sweep[str(k)] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "kg_headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "triples_per_sec": triples_per_sec,
-                "edges_total": n_edges,
-                "replicate": rep,
-                "triples_per_sec_scaled": stats_rep["triples_per_sec"],
-                "edges_total_scaled": stats_rep["edges_total"],
-                "cold_warm": {"cold": cold, "warm": warm},
-                "workload": workload,
-                "topk_sweep": topk_sweep,
-                "ann_recall": recall,
-                "queries_steal_pct": queries_steal,
-                "cpu_steal_pct": {"before": steal_before, "after": _steal_sample()},
-                "cpus": cpus,
-            }
-        )
-    )
+    steal_vals = [v for v in queries_steal.values() if v is not None]
+    detail = {
+        "detail": {
+            "pipeline_walls_best_of_2": {
+                "kg_pipeline_e2e": stats["walls"],
+                "kg_pipeline_e2e_scaled": stats_rep["walls"],
+            },
+            "cold_warm": {"cold": cold, "warm": warm},
+            "workload": workload,
+            "topk_sweep": topk_sweep,
+            "ann_recall": recall,
+            "queries_steal_pct": queries_steal,
+            "cpu_steal_pct": {"before": steal_before, "after": _steal_sample()},
+        }
+    }
+    # bulky detail: earlier stdout line + a file, NEVER the final line —
+    # the driver tail-captures ~2 KB and keeps the LAST line only, so the
+    # final line must stay a compact headline (round-3 BENCH parsed null)
+    print(json.dumps(detail))
+    try:
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/bench_detail.json", "w") as f:
+            json.dump(detail["detail"], f, indent=1)
+    except OSError:
+        pass
+    headline = {
+        "metric": "kg_headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "triples_per_sec": triples_per_sec,
+        "edges_total": n_edges,
+        "replicate": rep,
+        "triples_per_sec_scaled": stats_rep["triples_per_sec"],
+        "edges_total_scaled": stats_rep["edges_total"],
+        "max_steal_pct": max(steal_vals) if steal_vals else None,
+        "cpus": cpus,
+    }
+    line = json.dumps(headline)
+    assert len(line) < 1000, f"headline JSON must stay <1KB, got {len(line)}"
+    print(line)
     spark.stop()
 
 

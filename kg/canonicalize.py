@@ -172,7 +172,10 @@ def _driver_cc(
     )
 
 
-_CANON_CACHE: dict[int, list] = {}
+# keyed by max_component: the rows derive ONLY from the static alias
+# dictionary + that cap — session-independent, so no id(spark) key that a
+# GC'd session's reused address could poison (round-3 ADVICE item 3)
+_CANON_CACHE: dict[int | None, list] = {}
 
 
 def surface_similarity_edges(
@@ -250,7 +253,7 @@ def canonical_map(spark: SparkSession, max_component: int | None = 1000) -> Data
     is the corpus-scale path — see :func:`canonical_map_from_corpus` and
     the distributed-vs-driver equality tests in tests/test_canonicalize.py.
     """
-    key = id(spark)
+    key = max_component
     if key not in _CANON_CACHE:
         _CANON_CACHE[key] = _canonical_map_rows(max_component)
     return spark.createDataFrame(

@@ -69,7 +69,13 @@ def lsh_sign_bits(n_vectors: int, target_bucket: int = 4096) -> int:
     """Size the LSH dial with the corpus: sign_bits such that the EXPECTED
     bucket population ~ target_bucket (buckets = 2^bits, each query scans
     ~n/2^bits candidates). A constant bits value means a constant FRACTION
-    of the corpus per query — the round-2 scale flaw this replaces."""
+    of the corpus per query — the round-2 scale flaw this replaces.
+
+    Dim ceiling: sign-LSH uses one coordinate per bit, so usable bits are
+    capped at the embedding dimension — at 10^12 vectors this rule asks
+    for 28 bits, more than a dim-16 corpus has. :func:`lsh_topk` clamps to
+    the query vector's dimension (past it, a real deployment switches to
+    random-projection hyperplanes, which this sign stand-in models)."""
     import math
 
     return max(1, math.ceil(math.log2(max(2.0, n_vectors / target_bucket))))
@@ -89,11 +95,18 @@ def ivf_dials(n_vectors: int) -> tuple[int, int]:
 # bounded driver-side vectors (query + IVF centroids); dictionary-sized
 # like kg.canonicalize._CANON_CACHE. `bound` is the highest vec_id
 # collected so far — a request past it re-collects with the wider filter.
-_VEC_CACHE: dict[tuple[int, str], tuple[int, dict[int, list[float]]]] = {}
+# Keyed on applicationId, not id(spark): a GC'd session's address can be
+# reused by a new session and would silently serve stale vectors
+# (round-3 ADVICE item 3).
+_VEC_CACHE: dict[tuple[str, str], tuple[int, dict[int, list[float]]]] = {}
 
 # exact-top-k ground truth per (session, sf_dir, query, k) for recall
 # sweeps — k result ids per entry, dictionary-sized like _VEC_CACHE
-_TRUTH_CACHE: dict[tuple[int, str, int, int], set] = {}
+_TRUTH_CACHE: dict[tuple[str, str, int, int], set] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    return spark.sparkContext.applicationId
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,7 +123,7 @@ def _small_vecs(
     Bounded: need_max+1 rows; the scan is pushed down on vec_id."""
     if need_max is None:
         need_max = max(QUERY_VEC_ID, IVF_CELLS)
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     bound, vecs = _VEC_CACHE.get(key, (-1, {}))
     if need_max > bound:
         rows = _emb(spark, sf_dir).filter(F.col("vec_id") <= need_max).collect()
@@ -276,6 +289,11 @@ def lsh_topk(
     tables — same recall lever, no L× index duplication (Lv et al. 2007).
     ``n_probes == 2^sign_bits`` degenerates to exact brute force."""
     qv, base = _query_base(spark, sf_dir, query_vec_id, query_vec)
+    # sign-LSH consumes one coordinate per bit: clamp to the embedding
+    # dimension so lsh_sign_bits(n) output past dim (possible at extreme
+    # N with small dim) degrades to coarser buckets instead of indexing
+    # past the vector's end (round-3 ADVICE item 1)
+    sign_bits = min(sign_bits, len(qv))
     buckets = _probe_buckets(qv, sign_bits, n_probes)
     scored = (
         base.withColumn("bucket", _sign_bucket(F.col("v"), sign_bits))
@@ -674,7 +692,7 @@ def recall_at_k(
     random-corpus number is reported alongside as the floor."""
     sums = {v: 0.0 for v in variants}
     for q in query_ids:
-        tkey = (id(spark), sf_dir, q, k)
+        tkey = (_session_key(spark), sf_dir, q, k)
         if tkey not in _TRUTH_CACHE:
             _TRUTH_CACHE[tkey] = {
                 r.vec_id
