@@ -66,7 +66,7 @@ def oracle_sql() -> dict[str, str]:
     part orders lineitem events documents embeddings)."""
     out = {
         "kg_spans_raw": oracles.spans_sql(),
-        "kg_spans_normalize": oracles.spans_sql(),
+        "kg_spans_normalize": oracles.spans_norm_sql(),
         "kg_triples_surface": oracles.triples_surface_sql(),
         "kg_triples_pandas_extractor": oracles.triples_surface_sql(),
         "kg_linked": oracles.linked_sql(),

@@ -30,7 +30,13 @@ import zlib
 
 from kg.cleaning import clean_text_pandas
 from kg.schemas import TRIPLES_SURFACE
-from kg.synth import MEDIA_EVERY, MEDIA_KINDS, REPLICA_STRIDE, WORDS_PER_SPAN
+from kg.synth import (
+    MEDIA_EVERY,
+    MEDIA_KINDS,
+    REPLICA_STRIDE,
+    WORDS_PER_SPAN,
+    plant_dirt_py,
+)
 from kg.vocab import DEFAULT_PRED, ENTITY_SURFACES, PREDICATES
 
 _ENT = frozenset(ENTITY_SURFACES)
@@ -132,7 +138,11 @@ def _run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     chunk = " ".join(
                         words[i * WORDS_PER_SPAN : (i + 1) * WORDS_PER_SPAN]
                     )
-                    text_spans.append((doc_id_str, i, chunk))
+                    # the raw span carries the planted dirt (kg.synth
+                    # contract); pass 2's vectorized clean removes it
+                    text_spans.append(
+                        (doc_id_str, i, plant_dirt_py(doc_num, i, chunk))
+                    )
         # pass 2: vectorized normalize (stage-0 kernel), then extract
         if text_spans:
             cleaned = clean_text_pandas(

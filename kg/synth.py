@@ -30,6 +30,76 @@ WORDS_PER_SPAN = 6
 MEDIA_EVERY = 4  # span is media iff (doc_id + span_idx) % MEDIA_EVERY == 0
 MEDIA_KINDS = ["image", "audio", "video"]
 
+# --- planted dirt (round-3 VERDICT item 2) -------------------------------
+# The driver corpus is clean lowercase [a-z0-9 ] by construction, which
+# made the cleaning chain an identity on every span the driver ever
+# checked — kg_spans_normalize shared kg_spans_raw's oracle and the chain
+# was pinned only by pytest. A deterministic fraction of TEXT spans now
+# carries HTML/LaTeX/URL/email/entity/case/whitespace junk, derived from
+# (doc_id, offset) alone so Spark, the fused Arrow kernel, and DuckDB
+# produce byte-identical raw spans. Every template is constructed so the
+# reference cleaning chain (kg.cleaning; text_cleaner.py:15-127 semantics)
+# recovers EXACTLY the pristine chunk — asserted per-template in
+# tests/test_cleaning.py — so downstream extraction oracles build from the
+# pristine derivation while Spark's pipeline genuinely runs
+# dirty-span -> clean -> extract on every driver-checked row.
+DIRT_EVERY = 3  # text span is dirty iff (doc_id + span_idx) % 3 == 1
+N_DIRT_TEMPLATES = 6  # template = ((doc_id + span_idx) // 3) % 6
+
+
+def plant_dirt_py(doc_num: int, i: int, chunk: str) -> str:
+    """Python mirror of the Spark/DuckDB dirt injection (fused kernel +
+    test reference). Identity for spans outside the dirty selector."""
+    s = doc_num + i
+    if s % DIRT_EVERY != 1:
+        return chunk
+    t = (s // DIRT_EVERY) % N_DIRT_TEMPLATES
+    if t == 0:  # html tags
+        return '<p class="x">' + chunk + "</p>"
+    if t == 1:  # latex \cmd{..}, line break, bare command
+        return "\\textbf{" + chunk + "} \\\\ \\noindent"
+    if t == 2:  # url
+        return chunk + " http://spam.example.com/x?y=1"
+    if t == 3:  # email
+        return chunk + " spam.bot@example.com"
+    if t == 4:  # html entities + uppercase
+        return "&nbsp;&nbsp;" + chunk.upper()
+    # t == 5: whitespace runs + stray $ math delimiters
+    return chunk.replace(" ", "  ") + " $$"
+
+
+def _dirt_col(doc_num: Column, i: Column, clean: Column) -> Column:
+    """Spark-native mirror of :func:`plant_dirt_py`. The floor-division is
+    exact: (doc_num + i) stays far below 2^53."""
+    s = doc_num + i
+    t = F.floor(s / F.lit(DIRT_EVERY)).cast("long") % N_DIRT_TEMPLATES
+    dirty = (
+        F.when(t == 0, F.concat(F.lit('<p class="x">'), clean, F.lit("</p>")))
+        .when(t == 1, F.concat(F.lit("\\textbf{"), clean, F.lit("} \\\\ \\noindent")))
+        .when(t == 2, F.concat(clean, F.lit(" http://spam.example.com/x?y=1")))
+        .when(t == 3, F.concat(clean, F.lit(" spam.bot@example.com")))
+        .when(t == 4, F.concat(F.lit("&nbsp;&nbsp;"), F.upper(clean)))
+        .otherwise(
+            F.concat(F.replace(clean, F.lit(" "), F.lit("  ")), F.lit(" $$"))
+        )
+    )
+    return F.when(s % DIRT_EVERY == 1, dirty).otherwise(clean)
+
+
+def sql_dirt(chunk: str, key: str) -> str:
+    """DuckDB mirror of :func:`plant_dirt_py` — ``chunk``/``key`` are SQL
+    expressions for the pristine text and (doc_id + offset). DuckDB
+    single-quoted literals are verbatim (no escape sequences), so the
+    backslash templates below read exactly as Python's raw strings."""
+    t = f"(({key}) // {DIRT_EVERY}) % {N_DIRT_TEMPLATES}"
+    return f"""CASE WHEN ({key}) % {DIRT_EVERY} <> 1 THEN {chunk}
+      WHEN {t} = 0 THEN '<p class="x">' || {chunk} || '</p>'
+      WHEN {t} = 1 THEN '\\textbf{{' || {chunk} || '}} \\\\ \\noindent'
+      WHEN {t} = 2 THEN {chunk} || ' http://spam.example.com/x?y=1'
+      WHEN {t} = 3 THEN {chunk} || ' spam.bot@example.com'
+      WHEN {t} = 4 THEN '&nbsp;&nbsp;' || upper({chunk})
+      ELSE replace({chunk}, ' ', '  ') || ' $$' END"""
+
 
 def _span_struct(doc_num: Column, words: Column, i: Column) -> Column:
     chunk = F.slice(words, i * WORDS_PER_SPAN + 1, WORDS_PER_SPAN)
@@ -41,7 +111,9 @@ def _span_struct(doc_num: Column, words: Column, i: Column) -> Column:
     media_ref = F.when(
         is_media, F.concat(F.lit("media://"), kind, F.lit("/"), doc_num, F.lit("-"), i)
     ).otherwise(F.lit(""))
-    text = F.when(is_media, F.lit("")).otherwise(F.array_join(chunk, " "))
+    text = F.when(is_media, F.lit("")).otherwise(
+        _dirt_col(doc_num, i, F.array_join(chunk, " "))
+    )
     return F.struct(
         kind.alias("kind"),
         text.alias("text"),
@@ -108,11 +180,22 @@ def load_interleaved(
     return interleaved_documents(flat)
 
 
-# DuckDB SQL fragment producing the *exploded* spans (doc_id, kind, text,
+# DuckDB SQL fragments producing the *exploded* spans (doc_id, kind, text,
 # media_ref, offset) from the registered `documents` view — the oracle
 # mirror of interleaved_documents() followed by posexplode. Kept here so
 # all derivation constants live in one module.
-SQL_EXPLODED_SPANS = f"""
+#
+# Two variants sharing one body:
+# * SQL_EXPLODED_SPANS — the RAW spans (WITH planted dirt): oracle for
+#   kg_spans_raw and input to the kg_spans_normalize cleaning-chain oracle.
+# * SQL_EXPLODED_SPANS_CLEAN — the PRISTINE chunks (no dirt). Downstream
+#   extraction oracles (triples/edges/nodes/...) build on this: every dirt
+#   template cleans back to exactly the pristine chunk (pinned per
+#   template in tests/test_cleaning.py and end-to-end by the
+#   kg_spans_normalize driver row), so tokenizing the pristine text is
+#   equivalent to tokenizing clean(dirty text) — without nesting the whole
+#   regex chain under every downstream CTE.
+_SQL_SPANS_BODY = f"""
 WITH w AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
   FROM documents
@@ -128,7 +211,8 @@ SELECT printf('doc-%07d', doc_id) AS doc_id,
        CASE WHEN (doc_id + "offset") % {MEDIA_EVERY} = 0
             THEN ['image','audio','video'][CAST((doc_id + "offset") % 3 AS int) + 1]
             ELSE 'text' END AS kind,
-       CASE WHEN (doc_id + "offset") % {MEDIA_EVERY} = 0 THEN '' ELSE chunk END AS text,
+       CASE WHEN (doc_id + "offset") % {MEDIA_EVERY} = 0 THEN ''
+            ELSE {{text_expr}} END AS text,
        CASE WHEN (doc_id + "offset") % {MEDIA_EVERY} = 0
             THEN 'media://' ||
                  (['image','audio','video'][CAST((doc_id + "offset") % 3 AS int) + 1]) ||
@@ -137,6 +221,11 @@ SELECT printf('doc-%07d', doc_id) AS doc_id,
        CAST("offset" AS int) AS "offset"
 FROM s
 """
+
+SQL_EXPLODED_SPANS = _SQL_SPANS_BODY.format(
+    text_expr=sql_dirt("chunk", f'doc_id + "offset"')
+)
+SQL_EXPLODED_SPANS_CLEAN = _SQL_SPANS_BODY.format(text_expr="chunk")
 
 
 def write_planted_embeddings(

@@ -77,6 +77,41 @@ def test_three_way_equality_on_accented_input(spark, duck):
     assert "ł" in native[1] and "ø" in native[1]  # unmapped chars preserved
 
 
+def test_dirt_templates_clean_back_to_pristine(spark, duck):
+    """Every planted-dirt template (kg.synth) must (a) actually change the
+    text and (b) clean back to EXACTLY the pristine chunk through all
+    three paths — this is the invariant that lets downstream extraction
+    oracles build on the pristine span derivation while Spark runs
+    dirty -> clean -> extract."""
+    from kg.synth import DIRT_EVERY, N_DIRT_TEMPLATES, plant_dirt_py, sql_dirt
+
+    chunk = "table scan merge part window small"
+    cases = []  # one dirty string per template
+    s = 1
+    while len({(x // DIRT_EVERY) % N_DIRT_TEMPLATES for x, _ in cases}) < N_DIRT_TEMPLATES:
+        if s % DIRT_EVERY == 1:
+            cases.append((s, plant_dirt_py(s, 0, chunk)))
+        s += 1
+    assert len(cases) >= N_DIRT_TEMPLATES
+    dirty = [d for _, d in cases]
+    assert all(d != chunk for d in dirty)
+    # pandas path
+    assert clean_text_pandas(pd.Series(dirty)).tolist() == [chunk] * len(dirty)
+    # native path
+    df = spark.createDataFrame([(d,) for d in dirty], "t string")
+    got = [r.c for r in df.select(clean_text_col(F.col("t")).alias("c")).collect()]
+    assert got == [chunk] * len(dirty)
+    # DuckDB path: dirt generated AND cleaned in SQL
+    for s, d in cases:
+        q = "'" + chunk + "'"
+        gen = duck.sql("SELECT " + sql_dirt(q, str(s))).fetchone()[0]
+        assert gen == d
+        cleaned = duck.sql(
+            "SELECT " + sql_clean_text(sql_dirt(q, str(s)))
+        ).fetchone()[0]
+        assert cleaned == chunk
+
+
 def test_idempotent_on_clean_corpus(spark):
     """On the synthetic corpus, cleaning must be identity (oracle contract)."""
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

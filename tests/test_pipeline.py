@@ -34,10 +34,29 @@ def test_precision_recall_vs_oracle(spark, duck, tmp_path):
 
 
 def test_span_sequence_invariant(spark):
-    """(kind, text, media_ref, order) per doc survives explode+normalize."""
+    """(kind, text, media_ref, order) per doc survives explode+normalize:
+    the round trip equals the input with text spans CLEANED in place (the
+    corpus carries planted dirt since round 4, so cleaning is no longer an
+    identity — kind/media_ref/order must still be untouched)."""
+    from kg.cleaning import clean_text_col
+
     docs = load_interleaved(spark, SF_DIR)
+    expected = docs.select(
+        "doc_id",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.when(s["kind"] == "text", clean_text_col(s["text"]))
+                .otherwise(s["text"])
+                .alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ).alias("spans"),
+    )
     round_trip = reassemble_spans(normalize_spans(docs))
-    diff = docs.join(round_trip.withColumnRenamed("spans", "spans2"), "doc_id")
+    diff = expected.join(round_trip.withColumnRenamed("spans", "spans2"), "doc_id")
     bad = diff.filter(F.col("spans") != F.col("spans2"))
     assert bad.count() == 0
     assert round_trip.count() == docs.count()
