@@ -262,6 +262,30 @@ def _probe_buckets(qv: list[float], sign_bits: int, n_probes: int) -> list[int]:
     return out
 
 
+def _probe_buckets_exhaustive(
+    qv: list[float], sign_bits: int, n_probes: int
+) -> list[int]:
+    """Probe sequence by FULL bucket enumeration: cost(b) = sum of
+    |qv[i]| over differing sign bits, accumulated in ascending-bit order,
+    ranked (cost asc, bucket asc). Same sequence as the heap enumeration
+    when costs are distinct, but the arithmetic is a fixed left-to-right
+    sum — exactly mirrorable in SQL (the heap's incremental
+    cost-margin+step updates are not associativity-safe), so this is the
+    order the DuckDB oracle pins. Only viable for small sign_bits
+    (enumerates 2^bits buckets); the heap path is the at-scale order."""
+    qb = sum((1 << i) for i in range(sign_bits) if qv[i] >= 0)
+
+    def cost(b: int) -> float:
+        acc = 0.0
+        for i in range(sign_bits):
+            if ((b >> i) & 1) != ((qb >> i) & 1):
+                acc += abs(float(qv[i]))
+        return acc
+
+    ranked = sorted(range(1 << sign_bits), key=lambda b: (cost(b), b))
+    return ranked[: min(n_probes, 1 << sign_bits)]
+
+
 def lsh_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -270,6 +294,7 @@ def lsh_topk(
     query_vec_id: int = QUERY_VEC_ID,
     n_probes: int = 1,
     query_vec: list[float] | None = None,
+    probe_order: str = "margin",
 ) -> DataFrame:
     """Approximate top-k within the query's sign bucket(s). The probe
     buckets are literals (computed driver-side from the collected query
@@ -294,7 +319,10 @@ def lsh_topk(
     # N with small dim) degrades to coarser buckets instead of indexing
     # past the vector's end (round-3 ADVICE item 1)
     sign_bits = min(sign_bits, len(qv))
-    buckets = _probe_buckets(qv, sign_bits, n_probes)
+    if probe_order == "exhaustive":
+        buckets = _probe_buckets_exhaustive(qv, sign_bits, n_probes)
+    else:
+        buckets = _probe_buckets(qv, sign_bits, n_probes)
     scored = (
         base.withColumn("bucket", _sign_bucket(F.col("v"), sign_bits))
         .filter(F.col("bucket").isin(buckets))
@@ -393,29 +421,46 @@ def train_ivf_centroids(
     n_cells: int = IVF_CELLS,
     n_iters: int = 5,
     init: list[tuple[int, list[float]]] | None = None,
+    sample_per_cell: int = 256,
 ) -> list[tuple[int, list[float]]]:
     """Distributed spherical k-means (Lloyd) for the IVF coarse quantizer
     — replaces the fixed vec-id-slot stand-in with TRAINED centroids
     (what a real IVF build does; reference analog: Milvus's IVF index
-    training step).
+    training step, which likewise trains the quantizer on a SAMPLE).
 
-    Scale shape: each iteration is ONE corpus scan — the shuffle-free
-    nearest-centroid assignment search already uses (literal argmax under
-    ``LITERAL_CENTROID_MAX`` cells, packed 1-row broadcast beyond), then a
-    ``groupBy(cell)`` with ``dim`` ``avg()`` columns: partial aggregation
-    means the shuffle carries n_cells×dim doubles, never the corpus (no
-    explode to N×dim rows). Driver holds only the n_cells×dim centroid
-    table. Means are L2-renormalized (spherical k-means — assignment and
-    search both use dot products on unit vectors); a cell that loses all
-    members keeps its previous centroid.
+    Scale shape (round-3 VERDICT item 4 — training previously scanned the
+    FULL corpus every Lloyd iteration): the quantizer is trained on a
+    deterministic hash-sample of ~``sample_per_cell``·n_cells vectors
+    (``xxhash64(vec_id) % m == 0`` — reproducible, pushed into the scan),
+    and only the one-shot cell ASSIGNMENT (search/index build) ever
+    touches the full corpus. Per iteration: ONE sample scan — the same
+    shuffle-free nearest-centroid assignment the search path uses
+    (literal argmax under ``LITERAL_CENTROID_MAX`` cells, packed 1-row
+    broadcast beyond), then a ``groupBy(cell)`` with ``dim`` ``avg()``
+    columns: partial aggregation means the shuffle carries n_cells×dim
+    doubles, never the sample (no explode to N×dim rows). The per-
+    iteration driver ``collect`` is bounded at cells×dim doubles — at the
+    module's own sizing rule (cells~√N → 10⁶ cells at 10¹² vectors,
+    dim 384) that is ~3 GB, the known ceiling of single-driver k-means;
+    past it, shard the means collect or switch to a tree-reduce trainer.
+    Means are L2-renormalized (spherical k-means — assignment and search
+    both use dot products on unit vectors); a cell that loses all members
+    keeps its previous centroid.
 
-    Deterministic init (``init`` or vec_ids 1..n_cells); note distributed
-    float ``avg`` is partitioning-order-dependent in the last ulps, so
-    trained results are reproducible per session/partitioning but not
-    bit-pinned across engines — tests assert recall, not bits."""
+    Deterministic init (``init`` or vec_ids 1..n_cells) and deterministic
+    sample; note distributed float ``avg`` is partitioning-order-dependent
+    in the last ulps, so trained results are reproducible per session/
+    partitioning but not bit-pinned across engines — tests assert recall,
+    not bits."""
     import math
 
-    e = _emb(spark, sf_dir)
+    full = _emb(spark, sf_dir)
+    n = full.count()
+    target = sample_per_cell * n_cells
+    mod = max(1, n // max(1, target))
+    # mod == 1 keeps the full corpus (sandbox SFs are below the sample
+    # target); the filter pushes down to the scan either way
+    e = full.filter(F.xxhash64("vec_id") % mod == 0) if mod > 1 else full
     if init is None:
         vecs = _small_vecs(spark, sf_dir, need_max=n_cells)
         init = [(c, vecs[c]) for c in range(1, n_cells + 1)]
@@ -742,6 +787,66 @@ def recall_at_k(
             ),
         }
     return out
+
+
+LSH_MULTIPROBE = 4  # contract dial for ss_lsh_multiprobe_topk
+
+
+def lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query for the multi-probe path (round-3 VERDICT item 5 —
+    the single-probe driver row never exercised the actual recall fix).
+    Exhaustive probe order: the fixed left-to-right cost sums are
+    IEEE-identical to the oracle SQL's CASE-sum chain, unlike the heap
+    enumeration's incremental updates (see _probe_buckets_exhaustive);
+    tests/test_simsearch_dials.py asserts the two orders pick the same
+    buckets on the sandbox corpora."""
+    return lsh_topk(
+        spark,
+        sf_dir,
+        n_probes=LSH_MULTIPROBE,
+        probe_order="exhaustive",
+    )
+
+
+def lsh_multiprobe_topk_sql() -> str:
+    """DuckDB mirror of :func:`lsh_multiprobe_topk`: enumerate all
+    2^sign_bits buckets, cost = left-to-right sum of |qv[i]| over
+    differing sign bits (adding +0.0 for agreeing bits is IEEE-exact),
+    rank (cost asc, bucket asc), probe the first LSH_MULTIPROBE."""
+    bits = SEARCH_SIGN_BITS
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    cost = " + ".join(
+        f"(CASE WHEN ((c.b // {1 << i}) % 2) <> ((q.qbucket // {1 << i}) % 2)"
+        f" THEN abs(q.qv[{i + 1}]) ELSE 0.0 END)"
+        for i in range(bits)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v,
+         CAST({bucket} AS int) AS bucket
+  FROM embeddings
+),
+q AS (SELECT v AS qv, bucket AS qbucket FROM e WHERE vec_id = {QUERY_VEC_ID}),
+cand AS (SELECT CAST(unnest(range({1 << bits})) AS int) AS b),
+cost AS (SELECT c.b, {cost} AS cost FROM cand c, q),
+probe AS (
+  SELECT b FROM (
+    SELECT b, row_number() OVER (ORDER BY cost ASC, b ASC) AS rn FROM cost
+  ) WHERE rn <= {LSH_MULTIPROBE}
+),
+scored AS (
+  SELECT e.vec_id, round(list_dot_product(e.v, q.qv), 4) AS cos
+  FROM e JOIN probe p ON e.bucket = p.b, q
+  WHERE e.vec_id <> {QUERY_VEC_ID}
+)
+SELECT vec_id, rank, cos FROM (
+  SELECT vec_id, cos,
+         row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}"""
 
 
 def lsh_topk_sql() -> str:

@@ -74,18 +74,47 @@ def main() -> None:
         if ok:
             # the driver's value-hash is dtype-REPRESENTATION-sensitive:
             # an int64 4 and a float64 4.0 hash differently even though
-            # assert_frame_equal(check_dtype=False) passes. The one real
-            # trap is DuckDB widening integer sums to HUGEINT (-> pandas
-            # float64), so flag any int-vs-float disagreement per column.
+            # assert_frame_equal(check_dtype=False) passes. Flag the three
+            # representation classes (round-3 VERDICT item 9):
+            #   int-vs-float  (DuckDB HUGEINT sums -> pandas float64),
+            #   decimal-vs-float (pandas object holding Decimal),
+            #   int-width     (int32 vs int64).
+            import decimal
+
+            def _is_decimal(s) -> bool:
+                if s.dtype.kind != "O":
+                    return False
+                v = next((x for x in s if x is not None), None)
+                return isinstance(v, decimal.Decimal)
+
             for col in a.columns:
-                ka = a[col].dtype.kind
-                kb = b[col].dtype.kind
-                if {ka, kb} == {"i", "f"} or {ka, kb} == {"u", "f"}:
+                ka, kb = a[col].dtype, b[col].dtype
+                kinds = {ka.kind, kb.kind}
+                clash = None
+                if kinds in ({"i", "f"}, {"u", "f"}):
+                    clash = "int-vs-float (cast the oracle, e.g. CAST(... AS BIGINT))"
+                elif (_is_decimal(a[col]) and kb.kind == "f") or (
+                    _is_decimal(b[col]) and ka.kind == "f"
+                ):
+                    clash = "decimal-vs-float (cast BOTH sides to double or the same decimal)"
+                elif (
+                    ka.kind in "iu" and kb.kind in "iu"
+                    and ka.itemsize != kb.itemsize
+                ):
+                    # WARNING only: CORRECTNESS_r03 proves the driver hash
+                    # tolerates int-width disagreement (ss_bruteforce_topk
+                    # rank int32-vs-int64 was hash-green) — ints hash by
+                    # value, not representation. Surfaced so a new query
+                    # author sees the disagreement; not a failure.
+                    print(
+                        f"[{name}] DTYPE-WARN: column '{col}' spark={ka} "
+                        f"duck={kb} — int-width only (driver hash tolerates)"
+                    )
+                if clash:
                     ok = False
                     print(
-                        f"[{name}] DTYPE-REPR: column '{col}' spark={a[col].dtype} "
-                        f"duck={b[col].dtype} — driver hash would mismatch "
-                        f"(cast the oracle, e.g. CAST(... AS BIGINT))"
+                        f"[{name}] DTYPE-REPR: column '{col}' spark={ka} "
+                        f"duck={kb} — driver hash would mismatch: {clash}"
                     )
         if not ok:
             failures.append(name)

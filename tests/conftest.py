@@ -13,6 +13,12 @@ from kg.session import get_spark  # noqa: E402
 SF_DIR = "/root/testdata/sf0.001"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: boots a second JVM / long-running end-to-end check"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(app="kg-tests", cores=4, shuffle_partitions=8)

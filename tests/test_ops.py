@@ -9,7 +9,10 @@ from tests.conftest import SF_DIR, assert_df_equal
 
 
 def test_registry_complete():
-    qs, os_ = ops_queries(), ops_oracles()
+    from kg.ops.registry import ops_tail_queries
+
+    qs = {**ops_queries(), **ops_tail_queries()}
+    os_ = ops_oracles()
     # every oracle has a query; the ONLY oracle-less queries are the
     # sketch twin (tolerance-pinned below) and the trained-IVF variant
     # (k-means float means aren't bit-reproducible across engines;
@@ -20,6 +23,8 @@ def test_registry_complete():
         "ss_ivf_trained_topk",
     }
     assert len(qs) >= 20
+    # every in-window ops query has an oracle
+    assert set(ops_queries()) <= set(os_)
 
 
 @pytest.mark.parametrize(
@@ -117,3 +122,34 @@ def test_embed_documents_shuffle_free_and_edges(spark, tmp_path):
     ).write.parquet(f"{tmp_path}/d2/documents.parquet")
     again = E.embed_documents(spark, f"{tmp_path}/d2").collect()[0]
     assert list(again.v) == rows[1]
+
+
+def test_driver_window_is_fully_oracled():
+    """The driver's correctness gate checks exactly the FIRST 50 entries
+    of __spark_entry__.queries() (hard cap). Pin the ordering invariant
+    (round-3 ADVICE item 2): every in-window query must have an oracle,
+    the rotated-in embed pair must actually be in the window, and only
+    the intended entries may sit in the tail — so any reordering that
+    pushes an oracle-less query into (or an oracled query out of) the
+    window fails CI instead of silently weakening the gate."""
+    import __spark_entry__ as entrymod
+
+    qkeys = list(entrymod.queries())
+    oracles = entrymod.oracle_sql()
+    window, tail = qkeys[:50], qkeys[50:]
+    missing = [k for k in window if k not in oracles]
+    assert missing == [], f"in-window queries without oracle: {missing}"
+    assert "fn_embed_documents" in window
+    assert "ss_text_query_topk" in window
+    assert tail == [
+        "kg_spans_raw",
+        "kg_top_entities_fused",
+        "kg_triples_pandas_extractor",
+        "ss_lsh_multiprobe_topk",
+        "rel_value_percentiles_approx",
+        "ss_ivf_trained_topk",
+    ]
+    # tail entries whose equality the judge CAN re-run still carry oracles
+    for k in ("kg_spans_raw", "kg_top_entities_fused",
+              "kg_triples_pandas_extractor", "ss_lsh_multiprobe_topk"):
+        assert k in oracles, k

@@ -10,7 +10,7 @@ import pytest
 
 from kg.ops import simsearch as S
 from kg.synth import write_planted_embeddings
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, assert_df_equal
 
 
 def _ids(rows):
@@ -266,3 +266,127 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
         spark.read.parquet(f"{idx}/vectors").selectExpr(
             "sum(vec_id)"
         ).collect()
+
+
+def test_exhaustive_probe_order_matches_heap(spark):
+    """The contract multiprobe query uses the exhaustive (SQL-mirrorable)
+    probe order; the at-scale path uses the heap enumeration. With
+    distinct flip costs the two sequences are identical — assert that on
+    the sandbox query vector across bit widths and probe counts."""
+    from kg.ops.simsearch import (
+        _probe_buckets,
+        _probe_buckets_exhaustive,
+        _small_vecs,
+    )
+
+    qv = _small_vecs(spark, SF_DIR, need_max=0)[0]
+    for bits in (2, 3, 4, 5):
+        for probes in (1, 2, 4, 8):
+            heap = _probe_buckets(qv, bits, probes)
+            full = _probe_buckets_exhaustive(qv, bits, probes)
+            assert heap == full, (bits, probes, heap, full)
+
+
+def test_multiprobe_contract_query_matches_oracle(spark, duck):
+    from kg.ops.simsearch import lsh_multiprobe_topk, lsh_multiprobe_topk_sql
+
+    assert_df_equal(
+        lsh_multiprobe_topk(spark, SF_DIR), duck.sql(lsh_multiprobe_topk_sql())
+    )
+
+
+def test_multiprobe_returns_superset_quality(spark):
+    """More probes can only improve the best-cos found (candidate set is
+    a superset): top-1 cos at 4 probes >= top-1 cos at 1 probe."""
+    from kg.ops.simsearch import lsh_topk
+
+    one = lsh_topk(spark, SF_DIR, n_probes=1).collect()
+    four = lsh_topk(spark, SF_DIR, n_probes=4, probe_order="exhaustive").collect()
+    assert four[0].cos >= one[0].cos
+
+
+def test_sampled_training_matches_or_beats_standin(spark, planted_dir):
+    """Round-3 VERDICT item 4: the quantizer now trains on a deterministic
+    hash-sample. Force real sampling on the 1024-vector fixture
+    (sample_per_cell=8 -> ~256 training points) and assert the sampled
+    training still reaches at least the vec-id-slot stand-in's recall at
+    probe=1 — training on a sample must not cost quality the planted
+    geometry supports."""
+    trained = S.train_ivf_centroids(
+        spark, planted_dir, n_cells=32, n_iters=5, sample_per_cell=8
+    )
+    qids = list(range(40, 56))
+    standin = S.recall_at_k(
+        spark, planted_dir, qids, n_cells=32, n_probe=1, variants=("ivf",)
+    )["ivf"]["recall"]
+    sampled = S.recall_at_k(
+        spark, planted_dir, qids, n_probe=1, ivf_centroids=trained,
+        variants=("ivf",),
+    )["ivf"]["recall"]
+    assert sampled >= standin, (sampled, standin)
+
+
+def test_training_through_broadcast_assignment_path(spark, planted_dir):
+    """Training with > LITERAL_CENTROID_MAX cells exercises the packed
+    1-row broadcast assignment INSIDE the Lloyd loop (round-3 VERDICT: the
+    broadcast path was search-tested but never trained through). Probing
+    every trained cell must still equal brute force — training only
+    repartitions the corpus, never changes candidate math."""
+    n_cells = 96
+    assert n_cells > S.LITERAL_CENTROID_MAX
+    trained = S.train_ivf_centroids(
+        spark, planted_dir, n_cells=n_cells, n_iters=2
+    )
+    assert len(trained) == n_cells
+    for _, cv in trained:
+        norm = sum(x * x for x in cv) ** 0.5
+        assert abs(norm - 1.0) < 1e-9
+    ids = lambda rows: [r.vec_id for r in rows]  # noqa: E731
+    bf = ids(S.bruteforce_topk(spark, planted_dir, query_vec_id=40).collect())
+    ivf = ids(
+        S.ivf_topk(
+            spark, planted_dir, query_vec_id=40, centroids=trained,
+            n_probe=n_cells,
+        ).collect()
+    )
+    assert ivf == bf
+
+
+def test_indexed_trained_recall_partition_pruned(spark, planted_dir, tmp_path):
+    """Round-3 VERDICT item 8: trained centroids + the materialized
+    partition-pruned index together at a realistic dial. Build the index
+    once with trained 32-cell centroids, then assert recall@10 >= 0.95 at
+    probe 2 and 4 THROUGH ivf_topk_indexed (recall was previously only
+    measured through the in-memory path), and that the scan actually
+    prunes partitions."""
+    trained = S.train_ivf_centroids(spark, planted_dir, n_cells=32, n_iters=5)
+    idx = S.build_ivf_index(
+        spark, planted_dir, str(tmp_path / "ivf_idx"), centroids=trained
+    )
+    qids = list(range(40, 48))
+    vecs = {
+        r.vec_id: [float(x) for x in r.v]
+        for r in S._emb(spark, planted_dir)
+        .filter(S.F.col("vec_id").isin(qids))
+        .collect()
+    }
+    for n_probe in (2, 4):
+        hits = 0.0
+        for q in qids:
+            truth = {
+                r.vec_id
+                for r in S.bruteforce_topk(
+                    spark, planted_dir, query_vec=vecs[q]
+                ).collect()
+            }
+            df = S.ivf_topk_indexed(spark, idx, vecs[q], n_probe=n_probe)
+            got = {r.vec_id for r in df.collect()}
+            hits += len(got & truth) / max(1, len(truth))
+        recall = hits / len(qids)
+        assert recall >= 0.95, (n_probe, recall)
+    # the probed scan lists a strict subset of cell directories
+    plan = (
+        S.ivf_topk_indexed(spark, idx, vecs[qids[0]], n_probe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "cell" in plan
