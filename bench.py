@@ -125,14 +125,26 @@ def main() -> None:
     # exact measurement interval): round-over-round comparisons stopped
     # being trustworthy when a steal wave hit one run's query but not the
     # other's (round-2 judge burned time proving two "regressions" were
-    # exactly this) — a per-query number makes polluted cells identifiable
+    # exactly this) — a per-query number makes polluted cells identifiable.
+    # Queries are best-of-2 like the pipeline walls (round-4 measurement:
+    # a single-shot cell read 15.9 s in-session vs 2.9 s fresh at 0.3%
+    # steal — same-session pollution that neither steal sampling nor one
+    # gc_pause catches); steal is reported for the kept (min) run.
+    query_walls: dict[str, list[float]] = {}
+
     def timed(name, fn):
-        gc_pause()
-        snap0 = _stat_snap()
-        t = time.time()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t, 3)
-        queries_steal[name] = _steal_pct(snap0, _stat_snap())
+        walls, steals = [], []
+        for _ in range(2):
+            gc_pause()
+            snap0 = _stat_snap()
+            t = time.time()
+            fn(spark, sf_dir).count()
+            walls.append(round(time.time() - t, 3))
+            steals.append(_steal_pct(snap0, _stat_snap()))
+        best = min(range(2), key=lambda i: walls[i])
+        timings[name] = walls[best]
+        queries_steal[name] = steals[best]
+        query_walls[name] = walls
 
     timed("kg_top_entities", q_top_entities)
     timed("kg_top_entities_fused", q_top_entities_fused)
@@ -255,6 +267,7 @@ def main() -> None:
                 "kg_pipeline_e2e": stats["walls"],
                 "kg_pipeline_e2e_scaled": stats_rep["walls"],
             },
+            "query_walls_best_of_2": query_walls,
             "cold_warm": {"cold": cold, "warm": warm},
             "workload": workload,
             "topk_sweep": topk_sweep,
