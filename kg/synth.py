@@ -173,10 +173,20 @@ def load_interleaved(
     # Local-mode adaptation: the sandbox corpus is ONE small parquet file =
     # one input split, which would serialize the whole (CPU-heavy) extract
     # chain onto a single core. On a real lake the scan has thousands of
-    # splits and this repartition never fires.
-    target = spark.sparkContext.defaultParallelism
-    if flat.rdd.getNumPartitions() < target:
-        flat = flat.repartition(target)
+    # splits and this repartition never fires. Decided from driver-side
+    # file sizes like kg/fused.py — the df.rdd.getNumPartitions() probe
+    # costs a ~1.3 s plan->RDD conversion per session (PLANS.md §7).
+    import os
+
+    try:
+        total_bytes = sum(
+            os.path.getsize(p.removeprefix("file:"))
+            for p in flat.inputFiles()
+        )
+    except OSError:  # non-local paths: fall back to the safe repartition
+        total_bytes = 0
+    if total_bytes < 1 << 30:
+        flat = flat.repartition(spark.sparkContext.defaultParallelism)
     return interleaved_documents(flat)
 
 
