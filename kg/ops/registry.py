@@ -7,7 +7,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kg.ops import dedup, embed, media, relational, simsearch, textfns, textstats
+from kg.ops import (
+    dedup,
+    embed,
+    media,
+    ratelimit,
+    relational,
+    simsearch,
+    textfns,
+    textstats,
+)
 from kg.streaming import windowed_event_counts_batch, windowed_event_counts_sql
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -75,8 +84,15 @@ def ops_tail_queries() -> dict[str, QueryFn]:
     scripts/check_contract.py) but the window is full."""
     return {
         "ss_lsh_multiprobe_topk": simsearch.lsh_multiprobe_topk,
+        # R3 serving-concern analog (round 4): the audit form is
+        # oracle-exact; the stateful form replays the reference
+        # algorithm per client (no SQL oracle possible for the
+        # admitted-only-consume-quota loop — pinned in
+        # tests/test_ratelimit.py against a verbatim simulation)
+        "rl_sliding_admission": ratelimit.sliding_admission,
         "rel_value_percentiles_approx": relational.value_percentiles_approx,
         "ss_ivf_trained_topk": _ivf_trained_topk,
+        "rl_stateful_admission": ratelimit.stateful_admission,
     }
 
 
@@ -127,4 +143,5 @@ def ops_oracles() -> dict[str, str]:
         "fn_embed_documents": embed.embed_flat_sql(),
         "ss_text_query_topk": embed.text_query_topk_sql(),
         "ss_lsh_multiprobe_topk": simsearch.lsh_multiprobe_topk_sql(),
+        "rl_sliding_admission": ratelimit.sliding_admission_sql(),
     }

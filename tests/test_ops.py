@@ -21,6 +21,7 @@ def test_registry_complete():
     assert set(qs) - set(os_) == {
         "rel_value_percentiles_approx",
         "ss_ivf_trained_topk",
+        "rl_stateful_admission",  # stateful loop: pinned in test_ratelimit
     }
     assert len(qs) >= 20
     # every in-window ops query has an oracle
@@ -146,10 +147,13 @@ def test_driver_window_is_fully_oracled():
         "kg_top_entities_fused",
         "kg_triples_pandas_extractor",
         "ss_lsh_multiprobe_topk",
+        "rl_sliding_admission",
         "rel_value_percentiles_approx",
         "ss_ivf_trained_topk",
+        "rl_stateful_admission",
     ]
     # tail entries whose equality the judge CAN re-run still carry oracles
     for k in ("kg_spans_raw", "kg_top_entities_fused",
-              "kg_triples_pandas_extractor", "ss_lsh_multiprobe_topk"):
+              "kg_triples_pandas_extractor", "ss_lsh_multiprobe_topk",
+              "rl_sliding_admission"):
         assert k in oracles, k
