@@ -95,17 +95,21 @@ WINDOW w AS (
 
 def simulate_reference(
     rows: Iterable[tuple[int, int]], limit: int = RATE_LIMIT,
-    window_us: int = _WINDOW_US,
+    window_us: int = _WINDOW_US, window: list[int] | None = None,
 ) -> list[bool]:
     """Verbatim port of the reference sliding-window algorithm
     (``middleware.py:20-44``) over one client's (event_id, ts_us) rows in
     arrival order: evict admitted timestamps older than the window, check
-    the limit, and append ONLY if admitted. Used both by the distributed
-    kernel (per client group) and by the test's global simulation."""
-    window: list[int] = []
+    the limit, and append ONLY if admitted. Used by the distributed batch
+    kernel (per client group), the streaming state kernel
+    (kg/streaming.py — pass ``window`` to carry state across
+    micro-batches; the list is mutated in place and holds the final
+    admitted window on return), and the test's global simulation."""
+    if window is None:
+        window = []
     out: list[bool] = []
     for _eid, t in rows:
-        window = [wt for wt in window if t - wt < window_us]
+        window[:] = [wt for wt in window if t - wt < window_us]
         if len(window) >= limit:
             out.append(False)
         else:

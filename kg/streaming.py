@@ -175,6 +175,90 @@ def stateful_dedup_stream(
     )
 
 
+def stream_rate_limit(
+    events_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Online form of the R3 rate limiter (kg/ops/ratelimit.py — the
+    reference's actual deployment: admit/reject requests AS THEY ARRIVE,
+    ``api/middleware.py:53-87``). Per-client state = the admitted-
+    timestamp window (<= RATE_LIMIT entries), carried across micro-batches
+    by ``applyInPandasWithState``; each batch replays the SAME verbatim
+    reference algorithm the batch operator uses
+    (``ratelimit.simulate_reference``), continuing from the persisted
+    window — so stream output over ordered arrivals equals the batch
+    ``stateful_admission`` of the union (tested).
+
+    State is exactly-bounded: ProcessingTimeTimeout drops a client's
+    state after a FULL window of inactivity — by then every timestamp in
+    it would have aged out, so expiry is semantics-free (unlike the dedup
+    TTL, which trades exactness for bounded state). Input stream needs
+    (event_id, user_id, ts); arrivals are processed in (ts, event_id)
+    order within each batch — exactness across batches assumes per-client
+    arrival order respects event time, which is inherent to ANY online
+    limiter (it cannot reject yesterday's request today).
+    """
+    import pandas as _pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from kg.ops.ratelimit import RATE_WINDOW_S, simulate_reference
+
+    out_schema = "event_id BIGINT, user_id BIGINT, admitted BOOLEAN"
+    state_schema = "window ARRAY<BIGINT>"
+    window_ms = RATE_WINDOW_S * 1000
+
+    def _limit(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            yield _pd.DataFrame(
+                {
+                    "event_id": _pd.Series(dtype="int64"),
+                    "user_id": _pd.Series(dtype="int64"),
+                    "admitted": _pd.Series(dtype="bool"),
+                }
+            )
+            return
+        batch = _pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["tus", "event_id"]
+        )
+        window = list(state.get[0]) if state.exists else []
+        admitted = simulate_reference(
+            zip(batch["event_id"], batch["tus"]), window=window
+        )
+        state.update((window,))
+        state.setTimeoutDuration(window_ms)
+        yield _pd.DataFrame(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "admitted": admitted,
+            }
+        )
+
+    decided = (
+        events_stream.withColumn(
+            "tus", F.unix_micros(F.col("ts").cast("timestamp"))
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _limit,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+    return (
+        decided.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+
+
 def windowed_event_counts(events_stream: DataFrame) -> DataFrame:
     """10-minute tumbling event-time windows with a 20-minute watermark:
     (window, event_type, n, total_value). Late events beyond the watermark

@@ -141,3 +141,57 @@ def test_streaming_embed_equals_batch(spark, tmp_path):
         r.doc_id: list(r.v) for r in embed_documents(spark, src_dir).collect()
     }
     assert got == want and len(got) == 40
+
+
+def test_stream_rate_limit_state_carries_across_batches(spark, tmp_path):
+    """Online R3 limiter: the admitted-timestamp window persists in
+    stream state, so a request in a LATER micro-batch is rejected because
+    of admissions in an EARLIER one; after a full window of idleness the
+    quota frees up. Stream decisions over ordered arrivals must equal the
+    batch stateful_admission of the union."""
+    import datetime as dt
+
+    from kg.ops import ratelimit as RL
+    from kg.streaming import stream_rate_limit
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    def hours(h):
+        return t0 + dt.timedelta(hours=h)
+
+    batch1 = [(1, 7, hours(0)), (2, 7, hours(1))]
+    batch2 = [
+        (3, 7, hours(2)),   # rejected: 2 admitted in window, from batch 1
+        (4, 7, hours(30)),  # admitted: batch-1 admissions aged out
+        (5, 8, hours(2)),   # admitted: fresh client
+    ]
+    schema = "event_id long, user_id long, ts timestamp"
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(in_dir)
+        q = stream_rate_limit(
+            spark.readStream.schema(schema).parquet(in_dir), out_dir, ckpt
+        )
+        q.awaitTermination(120)
+
+    run_batch(batch1)
+    run_batch(batch2)
+    got = {
+        r.event_id: r.admitted
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {1: True, 2: True, 3: False, 4: True, 5: True}
+
+    # stream == batch operator over the union (arrival order == event order)
+    union_dir = str(tmp_path / "union")
+    spark.createDataFrame(batch1 + batch2, schema).write.parquet(
+        f"{union_dir}/events.parquet"
+    )
+    want = {
+        r.event_id: r.admitted
+        for r in RL.stateful_admission(spark, union_dir).collect()
+    }
+    assert got == want
