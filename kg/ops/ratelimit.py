@@ -21,12 +21,16 @@ do, in the two forms a data platform actually needs them:
   ``middleware.py:29-44``). Sequential-per-key + independent-across-keys
   is the ``applyInPandas`` shape (same as sessionization): one shuffle
   on the client key, per-client state bounded at ``RATE_LIMIT``
-  timestamps. No SQL oracle exists for a stateful loop; equality is
-  pinned against a verbatim driver-side simulation of the reference
-  algorithm (tests/test_ratelimit.py). The same kernel body drops into
-  ``applyInPandasWithState`` for the online/streaming form (state = the
-  admitted-timestamp deque per client — cf. the stateful dedup TTL
-  operator in kg/streaming.py).
+  timestamps. Equality is pinned two ways: against a verbatim
+  driver-side simulation of the reference algorithm
+  (tests/test_ratelimit.py), and by a full DuckDB oracle
+  (:func:`stateful_admission_sql`) that replays the sequential loop as a
+  RECURSIVE CTE carrying the admitted-timestamp window as a list-typed
+  state column — exact because the state is pure integers
+  (microseconds), no float accumulation anywhere. The same kernel body
+  drops into ``applyInPandasWithState`` for the online/streaming form
+  (state = the admitted-timestamp deque per client — kg/streaming.py
+  ``stream_rate_limit``).
 
 Dials are module constants so the oracle SQL and both operators stay in
 lockstep; sized for the sandbox events density (15 clients, ~2.2
@@ -140,3 +144,35 @@ def stateful_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             _one_client, "event_id long, user_id long, admitted boolean"
         )
     )
+
+
+def stateful_admission_sql() -> str:
+    """DuckDB oracle for :func:`stateful_admission`: the per-client
+    sequential loop as a RECURSIVE CTE. Each client's requests are
+    numbered in (ts, event_id) order; step i -> i+1 carries the admitted-
+    timestamp window as a LIST state column and replays the reference
+    algorithm verbatim — evict entries aged >= the window
+    (``t - wt < window`` retention), admit iff fewer than RATE_LIMIT
+    remain, append only if admitted. All state is integer microseconds,
+    so the replay is exact (no float accumulation). The recursion depth
+    is the longest per-client log; each iteration is one indexed join —
+    fine for an oracle (the distributed operator stays the scale path)."""
+    evict = f"list_filter(r.w, wt -> e.tus - wt < {_WINDOW_US})"
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus,
+         row_number() OVER (PARTITION BY user_id ORDER BY tus, event_id) AS i
+  FROM events
+),
+r(user_id, i, event_id, admitted, w) AS (
+  SELECT user_id, i, event_id, TRUE, [tus]
+  FROM e WHERE i = 1
+  UNION ALL
+  SELECT e.user_id, e.i, e.event_id,
+         len({evict}) < {RATE_LIMIT},
+         CASE WHEN len({evict}) < {RATE_LIMIT}
+              THEN list_append({evict}, e.tus)
+              ELSE {evict} END
+  FROM r JOIN e ON e.user_id = r.user_id AND e.i = r.i + 1
+)
+SELECT event_id, user_id, admitted FROM r"""

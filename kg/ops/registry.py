@@ -99,7 +99,10 @@ def ops_tail_queries() -> dict[str, QueryFn]:
 def _ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ss_ivf_topk with a TRAINED coarse quantizer (distributed spherical
     k-means, kg/ops/simsearch.py::train_ivf_centroids) instead of the
-    vec-id-slot stand-in; same dials as the oracle-pinned variant."""
+    vec-id-slot stand-in; same dials as the oracle-pinned variant.
+    Oracle-EXACT since the trainer's exact-integer mean sums made training
+    bit-deterministic: ``ivf_trained_topk_sql`` unrolls the same three
+    Lloyd iterations in DuckDB and reproduces the centroids bit-for-bit."""
     cents = simsearch.train_ivf_centroids(spark, sf_dir, n_iters=3)
     return simsearch.ivf_topk(spark, sf_dir, centroids=cents)
 
@@ -144,4 +147,6 @@ def ops_oracles() -> dict[str, str]:
         "ss_text_query_topk": embed.text_query_topk_sql(),
         "ss_lsh_multiprobe_topk": simsearch.lsh_multiprobe_topk_sql(),
         "rl_sliding_admission": ratelimit.sliding_admission_sql(),
+        "ss_ivf_trained_topk": simsearch.ivf_trained_topk_sql(),
+        "rl_stateful_admission": ratelimit.stateful_admission_sql(),
     }

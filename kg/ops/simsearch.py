@@ -57,6 +57,12 @@ SEARCH_SIGN_BITS = 4  # 16 buckets — coarser than dedup blocking so each
 # nearest cells (classic IVF recall/latency dial).
 IVF_CELLS = 8
 IVF_PROBE = 2
+# k-means mean accumulation quantum: per-component values enter the
+# per-cluster sum as floor(v * 2^24) — exact integer addition is order-
+# independent, making trained centroids bit-deterministic across runs,
+# partitionings, and engines (the spherical renorm cancels the scale, so
+# centroids need no un-scaling; quantization error ~2^-24 per component)
+MEAN_SCALE = float(1 << 24)
 
 # Past this many centroids, inlining them as literal arrays stops working
 # (codegen/expression size grows linearly with cells); the assignment
@@ -447,11 +453,17 @@ def train_ivf_centroids(
     both use dot products on unit vectors); a cell that loses all members
     keeps its previous centroid.
 
-    Deterministic init (``init`` or vec_ids 1..n_cells) and deterministic
-    sample; note distributed float ``avg`` is partitioning-order-dependent
-    in the last ulps, so trained results are reproducible per session/
-    partitioning but not bit-pinned across engines — tests assert recall,
-    not bits."""
+    Deterministic init (``init`` or vec_ids 1..n_cells), deterministic
+    sample, and BIT-DETERMINISTIC means: per-cluster per-dimension sums
+    accumulate ``floor(v[i] * 2^24)`` as exact decimals (order-independent
+    integer addition, unlike float ``avg`` whose partial-sum order varies
+    with partitioning), so the trained centroids are bit-identical across
+    runs, partitionings, AND engines — a serial replay of the same
+    arithmetic (DuckDB ``ivf_trained_topk_sql`` / Python) reproduces them
+    exactly, which is what lets the trained-quantizer contract query carry
+    a value-hash oracle. The 2^-24 input quantization is ~1e-7 per
+    component — far below any recall-relevant signal. decimal(18,0)
+    per-row values sum into decimal(38,0): exact past 10^12 rows/cell."""
     import math
 
     full = _emb(spark, sf_dir)
@@ -472,11 +484,17 @@ def train_ivf_centroids(
         else:
             assigned = _assign_cells_broadcast(spark, e, cents)
         means = assigned.groupBy("cell").agg(
-            *[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)]
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(
+                    F.floor(F.col("v")[i] * MEAN_SCALE).cast("decimal(18,0)")
+                ).alias(f"s{i}")
+                for i in range(dim)
+            ],
         ).collect()
         new = {}
         for r in means:
-            m = [float(r[f"m{i}"]) for i in range(dim)]
+            m = [float(r[f"s{i}"]) / r["n"] for i in range(dim)]
             norm = math.sqrt(sum(x * x for x in m))
             if norm > 0:
                 new[r.cell] = [x / norm for x in m]
@@ -655,6 +673,95 @@ SELECT vec_id, rank, cos FROM (
          row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
   FROM scored
 ) WHERE rank <= {TOP_K}"""
+
+
+def ivf_trained_topk_sql(
+    n_cells: int = IVF_CELLS,
+    n_iters: int = 3,
+    n_probe: int = IVF_PROBE,
+    k: int = TOP_K,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle for :func:`train_ivf_centroids` + :func:`ivf_topk` —
+    the Lloyd iterations UNROLLED as a CTE chain replaying the trainer's
+    exact arithmetic: nearest-centroid assignment with the same
+    dot/tie-break order, per-cluster per-dimension sums of
+    ``floor(v[i] * 2^24)`` in exact decimals (order-independent, so the
+    distributed and serial sums agree bit-for-bit), means as one double
+    division of exact values, spherical renorm as the same fixed-order
+    dot+sqrt+divide. Valid whenever the trainer's sample keeps the whole
+    corpus (``mod == 1`` — true at every sandbox SF for the default
+    ``sample_per_cell``); empty cells keep the previous centroid on both
+    paths."""
+    mlist = ",\n          ".join(
+        f"sum(floor(v[{i + 1}] * {MEAN_SCALE!r})::DECIMAL(18,0))::DOUBLE"
+        f" / count(*)"
+        for i in range(dim)
+    )
+    parts = [
+        f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS cell, v AS cv FROM e
+  WHERE vec_id BETWEEN 1 AND {n_cells}
+)"""
+    ]
+    for t in range(1, n_iters + 1):
+        parts.append(f""",
+a{t} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell ASC) AS crank
+    FROM e CROSS JOIN c{t - 1} c
+  ) WHERE crank = 1
+),
+m{t} AS (
+  SELECT cell,
+         [{mlist}] AS m
+  FROM a{t} GROUP BY cell
+),
+c{t} AS (
+  SELECT p.cell,
+         CASE WHEN mm.nrm IS NULL OR mm.nrm = 0 THEN p.cv
+              ELSE list_transform(mm.m, x -> x / mm.nrm) END AS cv
+  FROM c{t - 1} p LEFT JOIN (
+    SELECT cell, m, sqrt(list_dot_product(m, m)) AS nrm FROM m{t}
+  ) mm ON p.cell = mm.cell
+)""")
+    parts.append(f""",
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell ASC) AS crank
+    FROM e CROSS JOIN c{n_iters} c
+  ) WHERE crank = 1
+),
+probe AS (
+  SELECT cell AS pcell FROM (
+    SELECT c.cell,
+           row_number() OVER (
+             ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell ASC) AS crank
+    FROM e CROSS JOIN c{n_iters} c WHERE e.vec_id = {QUERY_VEC_ID}
+  ) WHERE crank <= {n_probe}
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+scored AS (
+  SELECT a.vec_id, round(list_dot_product(a.v, q.qv), 4) AS cos
+  FROM assigned a JOIN probe p ON a.cell = p.pcell, q
+  WHERE a.vec_id <> {QUERY_VEC_ID}
+)
+SELECT vec_id, rank, cos FROM (
+  SELECT vec_id, cos,
+         row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}""")
+    return "".join(parts)
 
 
 EXPECTED_DIM = 64

@@ -153,7 +153,13 @@ def test_driver_window_is_fully_oracled():
         "rl_stateful_admission",
     ]
     # tail entries whose equality the judge CAN re-run still carry oracles
+    # (ss_ivf_trained_topk gained one when exact-integer mean sums made
+    # k-means training bit-deterministic across engines;
+    # rl_stateful_admission's sequential loop replays as a recursive CTE
+    # over integer state) — every tail entry except the inherently
+    # approximate GK-sketch percentiles is now oracle-backed
     for k in ("kg_spans_raw", "kg_top_entities_fused",
               "kg_triples_pandas_extractor", "ss_lsh_multiprobe_topk",
-              "rl_sliding_admission"):
+              "rl_sliding_admission", "ss_ivf_trained_topk",
+              "rl_stateful_admission"):
         assert k in oracles, k

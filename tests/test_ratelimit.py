@@ -106,3 +106,16 @@ def test_no_window_ever_exceeds_limit(spark):
         for i, t in enumerate(ts):
             in_window = [x for x in ts[: i + 1] if t - x < win]
             assert len(in_window) <= RL.RATE_LIMIT, (uid, t)
+
+
+def test_stateful_admission_oracle_exact(spark, duck):
+    """The recursive-CTE oracle replays the sequential admitted-only-
+    consume-quota loop exactly (integer-microsecond state, no float
+    accumulation), so the stateful operator is value-oracle-checked like
+    every other deterministic contract query — not just simulation-pinned."""
+    from tests.conftest import assert_df_equal
+
+    assert_df_equal(
+        RL.stateful_admission(spark, SF_DIR),
+        duck.sql(RL.stateful_admission_sql()),
+    )

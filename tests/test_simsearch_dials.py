@@ -390,3 +390,31 @@ def test_indexed_trained_recall_partition_pruned(spark, planted_dir, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_trained_ivf_oracle_exact_and_partitioning_invariant(spark, duck):
+    """Exact-integer mean sums (floor(v*2^24) summed as decimals) make
+    distributed k-means training bit-deterministic, which is what lets
+    the trained-quantizer contract query carry a full value oracle:
+
+    * the DuckDB unrolled Lloyd chain (ivf_trained_topk_sql) reproduces
+      the Spark trained search EXACTLY — centroids, probe choice, scores,
+      ranks;
+    * training under a different shuffle-partition count yields
+      bit-identical centroids (the old float-avg means were partial-sum-
+      order-dependent in the last ulps, so this was previously untrue).
+    """
+    from kg.ops.registry import _ivf_trained_topk
+
+    assert_df_equal(
+        _ivf_trained_topk(spark, SF_DIR), duck.sql(S.ivf_trained_topk_sql())
+    )
+
+    a = S.train_ivf_centroids(spark, SF_DIR, n_iters=2)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        b = S.train_ivf_centroids(spark, SF_DIR, n_iters=2)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b
