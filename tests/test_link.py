@@ -44,3 +44,61 @@ def test_salted_join_equals_plain_join(spark):
     salted_i = salted_join(big, small, "k", n_salts=8, how="inner").select("k", "v", "grp")
     assert plain_i.exceptAll(salted_i).count() == 0
     assert salted_i.exceptAll(plain_i).count() == 0
+
+
+def test_salted_join_defuses_hot_key_skew(spark):
+    """The point of salting, proven behaviorally (north rule: 'salted
+    hash-join against the entity catalog to defuse head-entity skew'):
+    with one head key holding 90% of the big side, a plain shuffle join
+    lands the whole hot key in ONE task; the salted join spreads it over
+    ~n_salts tasks, so the max per-task row count drops by ~n_salts.
+    Broadcast and AQE are disabled so the test observes the raw shuffle
+    placement (AQE skew-split is the runtime backstop, not under test)."""
+    n, hot = 80_000, "the_head_entity"
+    big = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit(hot))
+        .otherwise(F.concat(F.lit("k"), F.col("id")))
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame(
+        [(hot, 1)] + [(f"k{i}", 0) for i in range(50)], "k string, grp int"
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def hot_spread(df):
+        """(number of partitions holding hot-key rows, max hot rows in
+        any one partition) after the join's exchange."""
+        rows = (
+            df.filter(F.col("k") == hot)
+            .withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .count()
+            .collect()
+        )
+        return len(rows), max(r["count"] for r in rows)
+
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # enough reduce slots that distinct (key, salt) buckets mostly
+        # get their own partition — the measurement is about key
+        # placement, not partition-count contention
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        p_parts, p_max = hot_spread(big.join(small, "k", "left"))
+        s_parts, s_max = hot_spread(
+            salted_join(big, small, "k", n_salts=8, how="left")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    # plain: every hot row in ONE task — the straggler
+    assert p_parts == 1 and p_max >= 0.9 * n, (p_parts, p_max)
+    # salted: spread over most of the 8 salt buckets (a pair of buckets
+    # may share a partition — hash placement, deterministic), max task
+    # load down by >= 3x
+    assert s_parts >= 4, s_parts
+    assert s_max <= p_max / 3, (s_max, p_max)
