@@ -102,8 +102,13 @@ def _ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec-id-slot stand-in; same dials as the oracle-pinned variant.
     Oracle-EXACT since the trainer's exact-integer mean sums made training
     bit-deterministic: ``ivf_trained_topk_sql`` unrolls the same three
-    Lloyd iterations in DuckDB and reproduces the centroids bit-for-bit."""
-    cents = simsearch.train_ivf_centroids(spark, sf_dir, n_iters=3)
+    Lloyd iterations in DuckDB and reproduces the centroids bit-for-bit.
+    ``sample_per_cell`` is pinned high so the trainer's hash-sample keeps
+    the whole corpus at ANY sf the contract might run (the oracle trains
+    on the full table; the sampled default is the production path)."""
+    cents = simsearch.train_ivf_centroids(
+        spark, sf_dir, n_iters=3, sample_per_cell=1 << 30
+    )
     return simsearch.ivf_topk(spark, sf_dir, centroids=cents)
 
 

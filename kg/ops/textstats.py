@@ -24,16 +24,35 @@ def _toks():
     return F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
 
 
+# BPE-ish pre-tokenizer (GPT-2 family): contraction suffixes, then
+# optionally-space-prefixed letter / digit / punctuation runs, then
+# whitespace runs. RE2-safe (no lookaheads — the original GPT-2
+# pattern's trailing-space lookahead is dropped) so the DuckDB oracle
+# runs the IDENTICAL pattern; token-list equality across engines is
+# pinned in tests on unicode + punctuation samples.
+BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, n_tokens_bpe): whitespace tokens AND BPE-ish
+    pre-tokenizer segments (what an LLM data pipeline budgets by — a
+    cheap, deterministic stand-in for a real BPE vocab merge count).
+    Both native regex/array expressions — whole-stage codegen, no UDF."""
     return _docs(spark, sf_dir).select(
-        "doc_id", F.size(_toks()).alias("n_tokens")
+        "doc_id",
+        F.size(_toks()).alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PAT), 0)).alias(
+            "n_tokens_bpe"
+        ),
     )
 
 
 def token_count_sql() -> str:
-    return """
+    sql_pat = BPE_PAT.replace("'", "''")
+    return f"""
 SELECT doc_id,
-       CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS int) AS n_tokens
+       CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS int) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{sql_pat}')) AS int) AS n_tokens_bpe
 FROM documents"""
 
 

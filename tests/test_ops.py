@@ -2,6 +2,7 @@
 (the full 32-query sweep runs in scripts/check_contract.py / driver)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from kg.ops import dedup, media, relational, simsearch, textstats
 from kg.ops.registry import ops_oracles, ops_queries
@@ -13,16 +14,12 @@ def test_registry_complete():
 
     qs = {**ops_queries(), **ops_tail_queries()}
     os_ = ops_oracles()
-    # every oracle has a query; the ONLY oracle-less queries are the
-    # sketch twin (tolerance-pinned below) and the trained-IVF variant
-    # (k-means float means aren't bit-reproducible across engines;
-    # invariants pinned in tests/test_simsearch_dials.py)
     assert set(os_) <= set(qs)
-    assert set(qs) - set(os_) == {
-        "rel_value_percentiles_approx",
-        "ss_ivf_trained_topk",
-        "rl_stateful_admission",  # stateful loop: pinned in test_ratelimit
-    }
+    # the GK sketch is the ONLY query without a value oracle (approximate
+    # by design; tolerance-pinned against the exact twin below) — the
+    # trained-IVF and stateful-limiter queries gained full oracles in
+    # round 4 (bit-deterministic k-means / recursive-CTE state replay)
+    assert set(qs) - set(os_) == {"rel_value_percentiles_approx"}
     assert len(qs) >= 20
     # every in-window ops query has an oracle
     assert set(ops_queries()) <= set(os_)
@@ -38,6 +35,7 @@ def test_registry_complete():
         (simsearch.bruteforce_topk, simsearch.bruteforce_topk_sql()),
         (simsearch.lsh_topk, simsearch.lsh_topk_sql()),
         (textstats.quality_score, textstats.quality_score_sql()),
+        (textstats.token_count, textstats.token_count_sql()),
         (textstats.fingerprint, textstats.fingerprint_sql()),
         (media.media_features, media.media_features_sql()),
     ],
@@ -163,3 +161,34 @@ def test_driver_window_is_fully_oracled():
               "rl_sliding_admission", "ss_ivf_trained_topk",
               "rl_stateful_admission"):
         assert k in oracles, k
+
+
+def test_bpe_pretokenizer_token_lists_match_duckdb(spark, duck):
+    """The BPE-ish pre-tokenizer pattern (textstats.BPE_PAT) is RE2-safe
+    by construction (no lookaheads), so Spark (Java regex) and DuckDB
+    (RE2) must produce the IDENTICAL token list — not just the same
+    count — on unicode, contractions, punctuation runs, markup, and
+    empty text."""
+    samples = [
+        "the quick brown fox's 42 jumps -- over... the lazy dog!",
+        "it's we're I'll they'd can't 3.14 a2b4",
+        "  leading and   trailing   ",
+        "unicode café naïve élève 123abc",
+        "<p>html&amp;stuff</p> http://x.y/z?a=1 $$ \\cmd{x}",
+        "",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "text string")
+    got = [
+        list(r.t)
+        for r in df.select(
+            F.regexp_extract_all("text", F.lit(textstats.BPE_PAT), 0).alias("t")
+        ).collect()
+    ]
+    pat = textstats.BPE_PAT
+    want = [
+        duck.execute(
+            "SELECT regexp_extract_all(?, ?)", [s, pat]
+        ).fetchone()[0]
+        for s in samples
+    ]
+    assert got == want
