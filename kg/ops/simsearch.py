@@ -977,3 +977,84 @@ SELECT vec_id, rank, cos FROM (
          row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
   FROM scored
 ) WHERE rank <= {TOP_K}"""
+
+
+KNN_GRAPH_K = 3  # neighbors per vector in the kNN graph
+
+
+def knn_graph(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KNN_GRAPH_K,
+    sign_bits: int = SEARCH_SIGN_BITS,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Per-vector k nearest neighbors among same-sign-bucket candidates:
+    (vec_id, nbr_id, cos, nn_rank) — the kNN GRAPH, precursor of
+    SemDedup-style embedding dedup, embedding clustering, and
+    NN-descent-style graph ANN builds (reference analog: the pairwise
+    similarity Milvus computes per query, lifted to every corpus row at
+    once).
+
+    Scale shape: the sign bucket is the ONLY shuffle key — candidate
+    pairs never cross buckets, so the join is bucket-local and the
+    per-vector top-k is a window PARTITIONED by vec_id over the
+    candidate-restricted pairs (never a global sort; contrast
+    ``embedding_neardup``'s corpus-global top-N). Dials as in
+    ``embedding_neardup``: ``sign_bits`` grows with the corpus so bucket
+    membership stays bounded (2^30 buckets at 10^12 rows), and
+    ``max_bucket`` caps per-bucket membership to the smallest vec_ids,
+    bounding worst-case per-bucket pair counts under skew. Vectors whose
+    bucket holds fewer than k+1 members yield fewer than k edges
+    (honest sparsity — raise probes/lower bits for coverage)."""
+    e = _emb(spark, sf_dir).withColumn(
+        "bucket", _sign_bucket(F.col("v"), sign_bits)
+    )
+    if max_bucket is not None:
+        wb = Window.partitionBy("bucket").orderBy("vec_id")
+        e = (
+            e.withColumn("_bn", F.row_number().over(wb))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+    a = e.select(F.col("vec_id"), F.col("v").alias("va"), "bucket")
+    b = e.select(
+        F.col("vec_id").alias("nbr_id"), F.col("v").alias("vb"), "bucket"
+    )
+    pairs = a.join(b, "bucket").filter(F.col("vec_id") != F.col("nbr_id"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    return (
+        pairs.withColumn("cos", F.round(dot, 4))
+        .withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .select("vec_id", "nbr_id", "cos", "nn_rank")
+    )
+
+
+def knn_graph_sql(k: int = KNN_GRAPH_K, sign_bits: int = SEARCH_SIGN_BITS) -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(sign_bits)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v,
+         CAST({bucket} AS int) AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id,
+         round(list_dot_product(a.v, b.v), 4) AS cos
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+)
+SELECT vec_id, nbr_id, cos, nn_rank FROM (
+  SELECT vec_id, nbr_id, cos,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY cos DESC, nbr_id ASC) AS nn_rank
+  FROM pairs
+) WHERE nn_rank <= {k}"""

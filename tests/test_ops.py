@@ -34,6 +34,7 @@ def test_registry_complete():
         (dedup.embedding_neardup, dedup.embedding_neardup_sql()),
         (simsearch.bruteforce_topk, simsearch.bruteforce_topk_sql()),
         (simsearch.lsh_topk, simsearch.lsh_topk_sql()),
+        (simsearch.knn_graph, simsearch.knn_graph_sql()),
         (textstats.quality_score, textstats.quality_score_sql()),
         (textstats.token_count, textstats.token_count_sql()),
         (textstats.fingerprint, textstats.fingerprint_sql()),
@@ -149,6 +150,7 @@ def test_driver_window_is_fully_oracled():
         "rel_value_percentiles_approx",
         "ss_ivf_trained_topk",
         "rl_stateful_admission",
+        "ss_knn_graph",
     ]
     # tail entries whose equality the judge CAN re-run still carry oracles
     # (ss_ivf_trained_topk gained one when exact-integer mean sums made
@@ -159,7 +161,7 @@ def test_driver_window_is_fully_oracled():
     for k in ("kg_spans_raw", "kg_top_entities_fused",
               "kg_triples_pandas_extractor", "ss_lsh_multiprobe_topk",
               "rl_sliding_admission", "ss_ivf_trained_topk",
-              "rl_stateful_admission"):
+              "rl_stateful_admission", "ss_knn_graph"):
         assert k in oracles, k
 
 
