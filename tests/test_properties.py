@@ -184,3 +184,51 @@ def test_probe_bucket_sequence_properties(qv, n_probes):
     costs = [flip_cost(b) for b in seq[1:]]
     for a, b in zip(costs, costs[1:]):
         assert a <= b + 1e-12
+
+
+def test_recursive_cte_rate_limit_matches_reference_on_random_streams():
+    """The stateful-limiter oracle (kg/ops/ratelimit.py::
+    stateful_admission_sql — a recursive CTE carrying the admitted-
+    timestamp window as list state) replays the reference algorithm for
+    ARBITRARY event streams, not just the sandbox corpus: random
+    timestamps (dense ties included), random client counts, windows
+    crossing each other. Pure DuckDB-vs-Python — no Spark job."""
+    import duckdb
+
+    from kg.ops import ratelimit as RL
+
+    events = st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),          # user_id
+            st.integers(min_value=0, max_value=4 * RL._WINDOW_US),
+        ),
+        min_size=1,
+        max_size=120,
+    )
+
+    @given(events)
+    @settings(max_examples=25, deadline=None)
+    def prop(rows):
+        table = [(i + 1, uid, tus) for i, (uid, tus) in enumerate(rows)]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE events AS "
+            "SELECT event_id, user_id, make_timestamp(tus) AS ts "
+            "FROM (SELECT * FROM (VALUES "
+            + ",".join(f"({e},{u},{t})" for e, u, t in table)
+            + ") t(event_id, user_id, tus))"
+        )
+        got = {
+            r[0]: r[2]
+            for r in con.execute(RL.stateful_admission_sql()).fetchall()
+        }
+        want = {}
+        by_uid = {}
+        for e, u, t in sorted(table, key=lambda r: (r[1], r[2], r[0])):
+            by_uid.setdefault(u, []).append((e, t))
+        for u, seq in by_uid.items():
+            for (e, _), adm in zip(seq, RL.simulate_reference(seq)):
+                want[e] = adm
+        assert got == want
+
+    prop()
