@@ -992,9 +992,10 @@ def knn_graph(
     """Per-vector k nearest neighbors among same-sign-bucket candidates:
     (vec_id, nbr_id, cos, nn_rank) — the kNN GRAPH, precursor of
     SemDedup-style embedding dedup, embedding clustering, and
-    NN-descent-style graph ANN builds (reference analog: the pairwise
-    similarity Milvus computes per query, lifted to every corpus row at
-    once).
+    NN-descent-style graph ANN builds (reference analog: the per-query
+    COSINE top-k Milvus serves, ``api/milvus_adapter.py:52-94``, lifted
+    to EVERY corpus row at once — the batch job the reference cannot
+    express without one serving call per document).
 
     Scale shape: the sign bucket is the ONLY shuffle key — candidate
     pairs never cross buckets, so the join is bucket-local and the
