@@ -126,6 +126,47 @@ def test_embedding_neardup_bucket_cap_invariant(spark):
     assert set(out["vec_a"]) <= survivors and set(out["vec_b"]) <= survivors
 
 
+def test_knn_graph_bucket_cap_invariant(spark):
+    """kNN-graph twin of the neardup cap invariant (round-4 VERDICT item
+    2): with max_bucket set, every emitted edge's endpoints are cap
+    survivors (the max_bucket smallest vec_ids of their sign bucket) —
+    so the per-bucket pair count is bounded at C(max_bucket, 2)."""
+    cap = 3
+    out = simsearch.knn_graph(spark, SF_DIR, max_bucket=cap).toPandas()
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select(
+            "vec_id",
+            dedup._sign_bucket(
+                F.transform("embedding", lambda x: x.cast("double")),
+                bits=simsearch.SEARCH_SIGN_BITS,
+            ).alias("bucket"),
+        )
+        .toPandas()
+    )
+    survivors = set(
+        emb.sort_values(["bucket", "vec_id"])
+        .groupby("bucket")
+        .head(cap)["vec_id"]
+    )
+    assert len(out) > 0
+    assert set(out["vec_id"]) <= survivors
+    assert set(out["nbr_id"]) <= survivors
+    # ... and the capped query stays oracle-exact (the SQL mirrors the cap)
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    from tests.conftest import assert_df_equal
+
+    assert_df_equal(
+        simsearch.knn_graph(spark, SF_DIR, max_bucket=cap),
+        con.sql(simsearch.knn_graph_sql(max_bucket=cap)),
+    )
+
+
 def test_sessionize_plan_has_single_exchange(spark):
     """PLANS.md §6 claim, now CI-gated: ONE hash exchange on user_id
     serves the lag window, the running-sum window AND the per-session
