@@ -35,8 +35,8 @@ MEDIA_KINDS = ["image", "audio", "video"]
 # made the cleaning chain an identity on every span the driver ever
 # checked — kg_spans_normalize shared kg_spans_raw's oracle and the chain
 # was pinned only by pytest. A deterministic fraction of TEXT spans now
-# carries HTML/LaTeX/URL/email/entity/case/whitespace junk, derived from
-# (doc_id, offset) alone so Spark, the fused Arrow kernel, and DuckDB
+# carries HTML/LaTeX/URL/email/entity/case/whitespace/accent junk, derived
+# from (doc_id, offset) alone so Spark, the fused Arrow kernel, and DuckDB
 # produce byte-identical raw spans. Every template is constructed so the
 # reference cleaning chain (kg.cleaning; text_cleaner.py:15-127 semantics)
 # recovers EXACTLY the pristine chunk — asserted per-template in
@@ -44,7 +44,19 @@ MEDIA_KINDS = ["image", "audio", "video"]
 # pristine derivation while Spark's pipeline genuinely runs
 # dirty-span -> clean -> extract on every driver-checked row.
 DIRT_EVERY = 3  # text span is dirty iff (doc_id + span_idx) % 3 == 1
-N_DIRT_TEMPLATES = 6  # template = ((doc_id + span_idx) // 3) % 6
+N_DIRT_TEMPLATES = 7  # template = ((doc_id + span_idx) // 3) % 7
+
+# Template 6 (round-4 VERDICT item 3): accented substitutions — swap the
+# five ASCII vowels for accent-table chars (a->à e->é i->î o->ö u->ù).
+# Every target char is in the cleaning chain's fixed accent-fold table
+# (kg.cleaning._ACCENT_SRC/_DST; reference text_cleaner.py:32-40,65-76),
+# so the fold restores the pristine chunk exactly — this was the one
+# cleaning step (T4 unicode/accent) no driver row ever exercised.
+# translate() is code-point based in all three engines, so the dirty
+# spans stay byte-identical across Spark / pandas / DuckDB.
+_ACCENT_DIRT_SRC = "aeiou"
+_ACCENT_DIRT_DST = "àéîöù"
+_ACCENT_DIRT_TABLE = str.maketrans(_ACCENT_DIRT_SRC, _ACCENT_DIRT_DST)
 
 
 def plant_dirt_py(doc_num: int, i: int, chunk: str) -> str:
@@ -64,8 +76,10 @@ def plant_dirt_py(doc_num: int, i: int, chunk: str) -> str:
         return chunk + " spam.bot@example.com"
     if t == 4:  # html entities + uppercase
         return "&nbsp;&nbsp;" + chunk.upper()
-    # t == 5: whitespace runs + stray $ math delimiters
-    return chunk.replace(" ", "  ") + " $$"
+    if t == 5:  # whitespace runs + stray $ math delimiters
+        return chunk.replace(" ", "  ") + " $$"
+    # t == 6: accented vowels (folds back via the fixed accent table)
+    return chunk.translate(_ACCENT_DIRT_TABLE)
 
 
 def _dirt_col(doc_num: Column, i: Column, clean: Column) -> Column:
@@ -79,9 +93,11 @@ def _dirt_col(doc_num: Column, i: Column, clean: Column) -> Column:
         .when(t == 2, F.concat(clean, F.lit(" http://spam.example.com/x?y=1")))
         .when(t == 3, F.concat(clean, F.lit(" spam.bot@example.com")))
         .when(t == 4, F.concat(F.lit("&nbsp;&nbsp;"), F.upper(clean)))
-        .otherwise(
-            F.concat(F.replace(clean, F.lit(" "), F.lit("  ")), F.lit(" $$"))
+        .when(
+            t == 5,
+            F.concat(F.replace(clean, F.lit(" "), F.lit("  ")), F.lit(" $$")),
         )
+        .otherwise(F.translate(clean, _ACCENT_DIRT_SRC, _ACCENT_DIRT_DST))
     )
     return F.when(s % DIRT_EVERY == 1, dirty).otherwise(clean)
 
@@ -98,7 +114,8 @@ def sql_dirt(chunk: str, key: str) -> str:
       WHEN {t} = 2 THEN {chunk} || ' http://spam.example.com/x?y=1'
       WHEN {t} = 3 THEN {chunk} || ' spam.bot@example.com'
       WHEN {t} = 4 THEN '&nbsp;&nbsp;' || upper({chunk})
-      ELSE replace({chunk}, ' ', '  ') || ' $$' END"""
+      WHEN {t} = 5 THEN replace({chunk}, ' ', '  ') || ' $$'
+      ELSE translate({chunk}, '{_ACCENT_DIRT_SRC}', '{_ACCENT_DIRT_DST}') END"""
 
 
 def _span_struct(doc_num: Column, words: Column, i: Column) -> Column:
