@@ -352,6 +352,26 @@ def test_training_through_broadcast_assignment_path(spark, planted_dir):
     assert ivf == bf
 
 
+def test_dedrivered_training_bit_identical_to_collect_path(spark, planted_dir):
+    """Round-4 VERDICT item 4: past MEANS_COLLECT_MAX_CELLS the trainer
+    keeps per-cell means in a DataFrame instead of collect()ing cells x
+    dim to the driver each Lloyd iteration. The exact-integer mean sums
+    make the routing PROVABLY result-invariant: force both paths on the
+    same >LITERAL_CENTROID_MAX config (so assignment runs the packed
+    broadcast in both) with real hash-sampling active, and require the
+    trained centroids to be BIT-identical — including through a
+    multi-shard packed assignment (shard_size < n_cells)."""
+    kw = dict(n_cells=80, n_iters=2, sample_per_cell=4)
+    assert kw["n_cells"] > S.LITERAL_CENTROID_MAX
+    a = S.train_ivf_centroids(spark, planted_dir, collect_means=True, **kw)
+    b = S.train_ivf_centroids(spark, planted_dir, collect_means=False, **kw)
+    assert len(a) == kw["n_cells"]
+    assert a == b  # exact float equality, every component
+    cdf = S.train_ivf_centroids_df(spark, planted_dir, shard_size=32, **kw)
+    c = sorted((int(r["cell"]), [float(x) for x in r["cv"]]) for r in cdf.collect())
+    assert c == a
+
+
 def test_indexed_trained_recall_partition_pruned(spark, planted_dir, tmp_path):
     """Round-3 VERDICT item 8: trained centroids + the materialized
     partition-pruned index together at a realistic dial. Build the index
