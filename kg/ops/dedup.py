@@ -350,12 +350,16 @@ SIGN_BITS = 8
 NEARDUP_TOP_PAIRS = 20
 
 
-def _sign_bucket(vec_col, bits: int = SIGN_BITS):
+def _sign_bucket(vec_col, bits: int = SIGN_BITS, offset: int = 0):
+    """Sign-LSH bucket from ``bits`` consecutive components starting at
+    ``offset`` — a nonzero offset gives an INDEPENDENT second hash table
+    over the same vectors (used by knn_graph_refined's cross-bucket
+    seeding; offset + bits must stay within the embedding dim)."""
     b = None
     for i in range(bits):
-        bit = F.when(F.element_at(vec_col, i + 1) >= 0, F.lit(1 << i)).otherwise(
-            F.lit(0)
-        )
+        bit = F.when(
+            F.element_at(vec_col, offset + i + 1) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
         b = bit if b is None else b + bit
     return b.cast("int")
 

@@ -106,6 +106,10 @@ def ops_tail_queries() -> dict[str, QueryFn]:
         "rel_semi_join": relational.suppliers_with_orders,
         "rel_value_percentiles_approx": relational.value_percentiles_approx,
         "ss_ivf_trained_topk": _ivf_trained_topk,
+        # one NN-descent iteration over the kNN graph (round-5): closes
+        # the sign-bucket blocking miss via neighbor-of-neighbor
+        # expansion; deterministic, so fully oracled
+        "ss_knn_graph_refined": simsearch.knn_graph_refined,
     }
 
 
@@ -168,4 +172,5 @@ def ops_oracles() -> dict[str, str]:
         "ss_ivf_trained_topk": simsearch.ivf_trained_topk_sql(),
         "rl_stateful_admission": ratelimit.stateful_admission_sql(),
         "ss_knn_graph": simsearch.knn_graph_sql(),
+        "ss_knn_graph_refined": simsearch.knn_graph_refined_sql(),
     }

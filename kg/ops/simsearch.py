@@ -1164,6 +1164,7 @@ def knn_graph(
     k: int = KNN_GRAPH_K,
     sign_bits: int = SEARCH_SIGN_BITS,
     max_bucket: int | None = KNN_MAX_BUCKET,
+    dim_offset: int = 0,
 ) -> DataFrame:
     """Per-vector k nearest neighbors among same-sign-bucket candidates:
     (vec_id, nbr_id, cos, nn_rank) — the kNN GRAPH, precursor of
@@ -1188,9 +1189,13 @@ def knn_graph(
     and the oracle SQL mirrors it exactly (the contract stays
     value-hash-exact whether or not the cap binds). Vectors whose
     bucket holds fewer than k+1 members yield fewer than k edges
-    (honest sparsity — raise probes/lower bits for coverage)."""
+    (honest sparsity — raise probes/lower bits for coverage).
+    ``dim_offset`` hashes ``sign_bits`` components starting at that dim —
+    a second, independent hash table over the same vectors
+    (:func:`knn_graph_refined` unions two tables for cross-bucket seed
+    diversity)."""
     e = _emb(spark, sf_dir).withColumn(
-        "bucket", _sign_bucket(F.col("v"), sign_bits)
+        "bucket", _sign_bucket(F.col("v"), sign_bits, dim_offset)
     )
     if max_bucket is not None:
         wb = Window.partitionBy("bucket").orderBy("vec_id")
@@ -1218,42 +1223,216 @@ def knn_graph(
     )
 
 
+def _knn_graph_ctes(
+    k: int,
+    sign_bits: int,
+    max_bucket: int | None,
+    offset: int = 0,
+    prefix: str = "",
+) -> str:
+    """Shared CTE chain deriving the base kNN graph ``{prefix}g(vec_id,
+    nbr_id, cos, nn_rank)`` — used by both :func:`knn_graph_sql` and
+    :func:`knn_graph_refined_sql` so the two oracles can never drift.
+    ``offset``/``prefix`` produce the second hash table's chain."""
+    p = prefix
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{offset + i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(sign_bits)
+    )
+    cap = (
+        f""",
+{p}capped AS (
+  SELECT vec_id, v, bucket FROM (
+    SELECT vec_id, v, bucket,
+           row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
+    FROM {p}e
+  ) WHERE bn <= {max_bucket}
+)"""
+        if max_bucket is not None
+        else f",\n{p}capped AS (SELECT vec_id, v, bucket FROM {p}e)"
+    )
+    return f"""{p}e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v,
+         CAST({bucket} AS int) AS bucket
+  FROM embeddings
+){cap},
+{p}pairs AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id,
+         round(list_dot_product(a.v, b.v), 4) AS cos
+  FROM {p}capped a JOIN {p}capped b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+{p}g AS (
+  SELECT vec_id, nbr_id, cos, nn_rank FROM (
+    SELECT vec_id, nbr_id, cos,
+           row_number() OVER (
+             PARTITION BY vec_id ORDER BY cos DESC, nbr_id ASC) AS nn_rank
+    FROM {p}pairs
+  ) WHERE nn_rank <= {k}
+)"""
+
+
 def knn_graph_sql(
     k: int = KNN_GRAPH_K,
     sign_bits: int = SEARCH_SIGN_BITS,
     max_bucket: int | None = KNN_MAX_BUCKET,
 ) -> str:
-    bucket = " + ".join(
-        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(sign_bits)
-    )
-    cap = (
-        f""",
-capped AS (
-  SELECT vec_id, v, bucket FROM (
-    SELECT vec_id, v, bucket,
-           row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
-    FROM e
-  ) WHERE bn <= {max_bucket}
-)"""
-        if max_bucket is not None
-        else ",\ncapped AS (SELECT vec_id, v, bucket FROM e)"
-    )
     return f"""
-WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> x::double) AS v,
-         CAST({bucket} AS int) AS bucket
-  FROM embeddings
-){cap},
-pairs AS (
-  SELECT a.vec_id, b.vec_id AS nbr_id,
-         round(list_dot_product(a.v, b.v), 4) AS cos
-  FROM capped a JOIN capped b
-    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+WITH {_knn_graph_ctes(k, sign_bits, max_bucket)}
+SELECT vec_id, nbr_id, cos, nn_rank FROM g"""
+
+
+def knn_graph_refined(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KNN_GRAPH_K,
+    sign_bits: int = SEARCH_SIGN_BITS,
+    max_bucket: int | None = KNN_MAX_BUCKET,
+) -> DataFrame:
+    """One NN-descent refinement iteration over :func:`knn_graph`
+    (round-4 VERDICT item 5; reference analog: the HNSW graph build this
+    family stands in for, ``infra/scripts/build_index.py:17-24`` —
+    NN-descent is the standard way to construct such graphs at scale).
+
+    The base graph's blocking miss (a vector whose noisy components flip
+    a sign bit lands in a bucket without its true neighbors) cannot be
+    closed by expanding the base graph alone: its edges never cross a
+    bucket, so neighbor-of-neighbor candidates stay inside the 2-hop
+    closure of the SAME bucket (measured: zero improvements). NN-descent
+    gets its power from seed DIVERSITY, so the refinement seeds with a
+    SECOND, independent hash table — the same sign-LSH over the next
+    ``sign_bits`` components (``dim_offset=sign_bits``; the multi-hash-
+    table construction every LSH deployment uses). A vector that flips a
+    bit in table 0 almost never flips the independent table-1 bits too,
+    so the union seed carries cross-table edges into its true
+    neighborhood, and one neighbor-of-neighbor pass propagates them:
+    if a→b and b→c, c becomes a candidate for a even when a and c share
+    no bucket in either table.
+
+    Deterministic local join: union the two tables' edges (cos is
+    symmetric and computed identically, so duplicates collapse exactly),
+    symmetrize, cap each vertex's adjacency at 2k by (cos desc, nbr asc)
+    — the NN-descent reverse-neighbor sample bound, without which a hub
+    vertex's in-degree would make its local join quadratic in corpus
+    size — then for every vertex emit all ordered pairs of its adjacency
+    plus the adjacency edges themselves, rescore exactly, and keep the
+    per-vector top-k.
+
+    Scale shape: adjacency ≤ 2Nk rows; the local join's only shuffle keys
+    are vertex ids, per-vertex fan-out is bounded at (2k)² candidates;
+    rescoring joins the candidate list back to the vector table on each
+    endpoint (id-key shuffle joins); the final top-k is the same
+    vec_id-partitioned window as the base graph — never global. Every
+    step is deterministic (fixed tie-breaks), so the refinement carries a
+    full DuckDB value-hash oracle (:func:`knn_graph_refined_sql`)."""
+    g0 = knn_graph(
+        spark, sf_dir, k=k, sign_bits=sign_bits, max_bucket=max_bucket
+    ).select("vec_id", "nbr_id", "cos")
+    g1 = knn_graph(
+        spark, sf_dir, k=k, sign_bits=sign_bits, max_bucket=max_bucket,
+        dim_offset=sign_bits,
+    ).select("vec_id", "nbr_id", "cos")
+    g = g0.unionByName(g1)
+    sym = g.unionByName(
+        g.select(
+            F.col("nbr_id").alias("vec_id"),
+            F.col("vec_id").alias("nbr_id"),
+            "cos",
+        )
+    ).distinct()
+    wadj = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    adj = (
+        sym.withColumn("_ar", F.row_number().over(wadj))
+        .filter(F.col("_ar") <= 2 * k)
+        .select("vec_id", "nbr_id")
+    )
+    mid_a = adj.select(F.col("vec_id").alias("mid"), F.col("nbr_id").alias("a"))
+    mid_c = adj.select(F.col("vec_id").alias("mid"), F.col("nbr_id").alias("c"))
+    non = (
+        mid_a.join(mid_c, "mid")
+        .filter(F.col("a") != F.col("c"))
+        .select("a", "c")
+    )
+    cand = non.unionByName(
+        adj.select(F.col("vec_id").alias("a"), F.col("nbr_id").alias("c"))
+    ).distinct()
+    e = _emb(spark, sf_dir)
+    dot = F.aggregate(
+        F.zip_with("va", "vc", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("cos"), F.asc("c"))
+    return (
+        cand.join(
+            e.select(F.col("vec_id").alias("a"), F.col("v").alias("va")), "a"
+        )
+        .join(
+            e.select(F.col("vec_id").alias("c"), F.col("v").alias("vc")), "c"
+        )
+        .withColumn("cos", F.round(dot, 4))
+        .withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .select(
+            F.col("a").alias("vec_id"),
+            F.col("c").alias("nbr_id"),
+            "cos",
+            "nn_rank",
+        )
+    )
+
+
+def knn_graph_refined_sql(
+    k: int = KNN_GRAPH_K,
+    sign_bits: int = SEARCH_SIGN_BITS,
+    max_bucket: int | None = KNN_MAX_BUCKET,
+) -> str:
+    """DuckDB mirror of :func:`knn_graph_refined`, built on the SAME base
+    CTE chain as :func:`knn_graph_sql` (the two cannot drift); the
+    second hash table is the same chain at ``offset=sign_bits`` under a
+    ``t1_`` prefix."""
+    return f"""
+WITH {_knn_graph_ctes(k, sign_bits, max_bucket)},
+{_knn_graph_ctes(k, sign_bits, max_bucket, offset=sign_bits, prefix="t1_")},
+seed AS (
+  SELECT vec_id, nbr_id, cos FROM g
+  UNION ALL
+  SELECT vec_id, nbr_id, cos FROM t1_g
+),
+sym AS (
+  SELECT DISTINCT vec_id, nbr_id, cos FROM (
+    SELECT vec_id, nbr_id, cos FROM seed
+    UNION ALL
+    SELECT nbr_id AS vec_id, vec_id AS nbr_id, cos FROM seed
+  )
+),
+adj AS (
+  SELECT vec_id, nbr_id FROM (
+    SELECT vec_id, nbr_id,
+           row_number() OVER (
+             PARTITION BY vec_id ORDER BY cos DESC, nbr_id ASC) AS ar
+    FROM sym
+  ) WHERE ar <= {2 * k}
+),
+cand AS (
+  SELECT DISTINCT a, c FROM (
+    SELECT x.nbr_id AS a, y.nbr_id AS c
+    FROM adj x JOIN adj y
+      ON x.vec_id = y.vec_id AND x.nbr_id <> y.nbr_id
+    UNION ALL
+    SELECT vec_id AS a, nbr_id AS c FROM adj
+  )
+),
+scored AS (
+  SELECT cand.a AS vec_id, cand.c AS nbr_id,
+         round(list_dot_product(ea.v, ec.v), 4) AS cos
+  FROM cand
+  JOIN e ea ON ea.vec_id = cand.a
+  JOIN e ec ON ec.vec_id = cand.c
 )
 SELECT vec_id, nbr_id, cos, nn_rank FROM (
   SELECT vec_id, nbr_id, cos,
          row_number() OVER (
            PARTITION BY vec_id ORDER BY cos DESC, nbr_id ASC) AS nn_rank
-  FROM pairs
+  FROM scored
 ) WHERE nn_rank <= {k}"""

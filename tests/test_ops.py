@@ -165,6 +165,7 @@ def test_driver_window_is_fully_oracled():
         "rel_semi_join",
         "rel_value_percentiles_approx",
         "ss_ivf_trained_topk",
+        "ss_knn_graph_refined",
     ]
     # tail entries whose equality the judge CAN re-run still carry
     # oracles — every tail entry except the inherently approximate
