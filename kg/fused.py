@@ -58,6 +58,29 @@ def _simulated_model_cost(chunk: str) -> None:
         acc = zlib.crc32(data, acc)
 
 
+def _maybe_inject_failure() -> None:
+    """Task-failure drill hook (reference Gate C analog: ``project
+    idea.pdf`` p.6 — kill one query node mid-query, recover <10 s).
+    When env ``KG_FAIL_TASK_ONCE`` is set, the FIRST attempt of partition
+    0 raises, so under ``spark.task.maxFailures>1`` (master
+    ``local[N,2]``) Spark retries exactly that task and the job still
+    succeeds with byte-identical output — Spark's task-retry machinery is
+    the engine's recovery story, and this hook lets a test prove it fires
+    on the hot path instead of assuming it. The env var must be set
+    before the JVM boots (python workers inherit it), hence the
+    subprocess drill in ``scripts/failure_drill.py``. No-op (one dict
+    lookup) outside the drill."""
+    if not os.environ.get("KG_FAIL_TASK_ONCE"):
+        return
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    if ctx is not None and ctx.partitionId() == 0 and ctx.attemptNumber() == 0:
+        raise RuntimeError(
+            "KG_FAIL_TASK_ONCE: injected task failure (drill, attempt 0)"
+        )
+
+
 def _extract_span(
     out: dict, doc_id_str: str, offset: int, toks: list[str]
 ) -> None:
@@ -114,6 +137,7 @@ def _run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """The fused kernel: (doc_id:int64, text) batches -> TRIPLES_SURFACE
     batches. Module-level so batch (fused_extract_triples) and streaming
     (kg.streaming.stream_extract_triples) share it verbatim."""
+    _maybe_inject_failure()
     for pdf in batches:
         out: dict[str, list] = {k: [] for k in TRIPLES_SURFACE.fieldNames()}
         # pass 1: derive spans from RAW words (kg.synth contract);
