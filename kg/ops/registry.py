@@ -110,6 +110,9 @@ def ops_tail_queries() -> dict[str, QueryFn]:
         # the sign-bucket blocking miss via neighbor-of-neighbor
         # expansion; deterministic, so fully oracled
         "ss_knn_graph_refined": simsearch.knn_graph_refined,
+        # Gopher-style repetition signals (round-5): the published
+        # repetition filters LLM data pipelines gate on
+        "ts_repetition": textstats.repetition,
     }
 
 
@@ -173,4 +176,5 @@ def ops_oracles() -> dict[str, str]:
         "rl_stateful_admission": ratelimit.stateful_admission_sql(),
         "ss_knn_graph": simsearch.knn_graph_sql(),
         "ss_knn_graph_refined": simsearch.knn_graph_refined_sql(),
+        "ts_repetition": textstats.repetition_sql(),
     }

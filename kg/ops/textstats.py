@@ -149,6 +149,124 @@ SELECT doc_id,
 FROM c"""
 
 
+def repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 — the
+    published repetition filters LLM data pipelines gate on):
+    (doc_id, n_bigrams, dup_bigram_frac, dup_trigram_frac,
+    top_bigram_frac, repetitive).
+
+    * ``dup_{bi,tri}gram_frac``: fraction of n-gram slots occupied by a
+      repeated n-gram — computed PER ROW from exact integer counts
+      (``size - size(array_distinct)``), whole-stage codegen, no shuffle.
+    * ``top_bigram_frac``: share of the most frequent bigram. The mode
+      needs a per-(doc, bigram) histogram; a per-row O(n²)
+      filter-per-distinct would melt on 10k-token documents, so it runs
+      as explode → two-level groupBy — partial aggregation combines
+      map-side and the shuffle key (doc_id) is the document, so the
+      stage scales with corpus size, never with a hot n-gram.
+    * ``repetitive``: top_bigram_frac > 0.18 (Gopher's top-2-gram gate)
+      OR dup_trigram_frac > 0.30.
+
+    Documents with fewer than two tokens carry no bigram signal and are
+    excluded (same guard as quality_score's n_tokens > 0)."""
+    toks = _toks()
+
+    def grams(n: int):
+        # positions 0 .. size-n; guarded because sequence(0, negative)
+        # generates a DESCENDING sequence instead of an empty one
+        idx = F.sequence(F.lit(0), F.size("toks") - n)
+        return F.when(
+            F.size("toks") >= n,
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.col("toks")[i + j] for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    base = (
+        _docs(spark, sf_dir)
+        .select("doc_id", toks.alias("toks"))
+        .select("doc_id", grams(2).alias("bg"), grams(3).alias("tg"))
+        .select(
+            "doc_id",
+            "bg",
+            F.size("bg").alias("n_bg"),
+            F.size(F.array_distinct("bg")).alias("n_bg_d"),
+            F.size("tg").alias("n_tg"),
+            F.size(F.array_distinct("tg")).alias("n_tg_d"),
+        )
+        .filter(F.col("n_bg") > 0)
+    )
+    tops = (
+        base.select("doc_id", F.explode("bg").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_n"))
+    )
+    out = base.join(tops, "doc_id").select(
+        "doc_id",
+        F.col("n_bg").alias("n_bigrams"),
+        F.round((F.col("n_bg") - F.col("n_bg_d")) / F.col("n_bg"), 4).alias(
+            "dup_bigram_frac"
+        ),
+        F.when(
+            F.col("n_tg") > 0,
+            F.round((F.col("n_tg") - F.col("n_tg_d")) / F.col("n_tg"), 4),
+        ).alias("dup_trigram_frac"),
+        F.round(F.col("top_n") / F.col("n_bg"), 4).alias("top_bigram_frac"),
+    )
+    return out.withColumn(
+        "repetitive",
+        (F.col("top_bigram_frac") > 0.18)
+        | (F.coalesce(F.col("dup_trigram_frac"), F.lit(0.0)) > 0.30),
+    )
+
+
+def repetition_sql() -> str:
+    return """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+              ELSE [] END AS bg,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              ELSE [] END AS tg
+  FROM d
+),
+base AS (
+  SELECT doc_id, bg,
+         len(bg) AS n_bg, len(list_distinct(bg)) AS n_bg_d,
+         len(tg) AS n_tg, len(list_distinct(tg)) AS n_tg_d
+  FROM g WHERE len(bg) > 0
+),
+tops AS (
+  SELECT doc_id, max(cnt) AS top_n FROM (
+    SELECT doc_id, bigram, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(bg) AS bigram FROM base)
+    GROUP BY doc_id, bigram
+  ) GROUP BY doc_id
+),
+out AS (
+  SELECT base.doc_id,
+         CAST(n_bg AS int) AS n_bigrams,
+         round((n_bg - n_bg_d) / n_bg, 4) AS dup_bigram_frac,
+         CASE WHEN n_tg > 0 THEN round((n_tg - n_tg_d) / n_tg, 4) END AS dup_trigram_frac,
+         round(top_n / n_bg, 4) AS top_bigram_frac
+  FROM base JOIN tops ON base.doc_id = tops.doc_id
+)
+SELECT *,
+       (top_bigram_frac > 0.18 OR coalesce(dup_trigram_frac, 0.0) > 0.30) AS repetitive
+FROM out"""
+
+
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive content fingerprint: md5 of the sorted distinct
     token list (reference analog: the dedup hash, D1)."""

@@ -48,6 +48,7 @@ def test_registry_complete():
         (textstats.quality_score, textstats.quality_score_sql()),
         (textstats.token_count, textstats.token_count_sql()),
         (textstats.fingerprint, textstats.fingerprint_sql()),
+        (textstats.repetition, textstats.repetition_sql()),
         (media.media_features, media.media_features_sql()),
     ],
     ids=lambda x: getattr(x, "__name__", "sql"),
