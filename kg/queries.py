@@ -304,6 +304,302 @@ SELECT entity_id, rank FROM r{PR_ITERS}"""
     )
 
 
+# association-graph support threshold: keep a concept pair iff it is
+# co-mentioned in >= ceil(SUPPORT_NUM/SUPPORT_DEN * n_docs) triples.
+# Expressed as an integer ratio because the threshold must be computed
+# IDENTICALLY by Spark (python) and DuckDB (SQL): ceil(0.12 * n) disagrees
+# between a float 0.12 (python: 0.12*500 = 60.000...01 -> 61) and
+# DuckDB's decimal literal (exact 60.00 -> 60); (12*n + 99) // 100 is
+# exact everywhere.
+SUPPORT_NUM, SUPPORT_DEN = 12, 100
+
+_ASSOC_SQL_FILTER = (
+    "pred NOT LIKE 'has_%' AND subj_id IS NOT NULL "
+    "AND obj_id IS NOT NULL AND subj_id <> obj_id"
+)
+
+_ASSOC_CTE = f""",
+upairs AS (
+  SELECT least(subj_id, obj_id) AS u, greatest(subj_id, obj_id) AS v
+  FROM edges
+  WHERE {_ASSOC_SQL_FILTER}
+  GROUP BY 1, 2
+  HAVING count(*) >=
+    (SELECT ({SUPPORT_NUM} * count(*) + {SUPPORT_DEN - 1}) // {SUPPORT_DEN}
+     FROM documents)
+),
+gdeg AS (
+  SELECT entity_id, count(*) AS degree FROM (
+    SELECT u AS entity_id FROM upairs UNION ALL SELECT v FROM upairs
+  ) GROUP BY entity_id
+)"""
+
+
+def _association_graph(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared base for the graph-analytics queries: the support-thresholded
+    co-mention ("association") graph as canonical (u < v) pairs, plus
+    per-node degrees.
+
+    Why thresholded: the raw canonical concept graph saturates into a
+    clique on any corpus large enough for every concept pair to co-occur
+    at least once (at sf0.001 it is literally K15), which degenerates
+    triangle counting (clustering ≡ 1) and empties link prediction (no
+    non-adjacent pairs). Keeping only pairs whose co-mention support
+    clears a RELATIVE threshold (12% of the document count — the
+    market-basket minimum-support idea) yields a scale-invariant,
+    non-trivial graph: support grows linearly with the corpus, so the
+    same fraction selects the same association structure at every SF.
+
+    Scale shape: support counting is ONE shuffle on the 16-byte pair key
+    with map-side partial aggregation; the threshold prunes before any
+    downstream join, and everything after is bounded by the entity
+    VOCABULARY, never the corpus — same argument as q_two_hop/q_pagerank.
+    The pair set is checkpointed once so consumers' self-joins don't
+    re-execute the extraction DAG per side."""
+    edges = q_edges(spark, sf_dir).filter(~F.col("pred").startswith("has_"))
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    min_sup = (SUPPORT_NUM * n_docs + SUPPORT_DEN - 1) // SUPPORT_DEN
+    und = (
+        edges.filter(
+            F.col("subj_id").isNotNull()
+            & F.col("obj_id").isNotNull()
+            & (F.col("subj_id") != F.col("obj_id"))
+        )
+        .select(
+            F.least("subj_id", "obj_id").alias("u"),
+            F.greatest("subj_id", "obj_id").alias("v"),
+        )
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_sup)
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.explode(F.array("u", "v")).alias("entity_id"))
+        .groupBy("entity_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return und, deg
+
+
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation + local clustering coefficient over
+    the support-thresholded concept association graph: (entity_id,
+    degree, n_triangles, clustering).
+
+    Distributed shape is degree-ordered triangle enumeration (Cohen's
+    MapReduce scheme, IEEE CiSE 2009): orient every undirected edge from
+    its lower (degree, id) endpoint to the higher, so each triangle is
+    enumerated exactly once — at its lowest-ordered vertex — and the
+    wedge fan-out per node is bounded by the oriented out-degree, which
+    degree-ordering caps at O(sqrt(m)) even on power-law hubs. That makes
+    the wedge self-join skew-safe at 100 TB: a hub of degree d
+    contributes d wedge CHECKS spread across its low-degree neighbors,
+    never C(d,2) wedges of its own. All joins run over the
+    vocabulary-bounded distinct pair projection. Deterministic (pure set
+    algebra + one final float division), hence fully oracled."""
+    und, deg = _association_graph(spark, sf_dir)
+    ed = (
+        und.join(deg.select(F.col("entity_id").alias("u"),
+                            F.col("degree").alias("du")), "u")
+        .join(deg.select(F.col("entity_id").alias("v"),
+                         F.col("degree").alias("dv")), "v")
+    )
+    # orient low→high in the (degree, id) total order; u < v already
+    # breaks ties, so du <= dv orients u→v, else v→u. Carry the DEST
+    # degree: the wedge join orders the two out-neighbors by the same
+    # total order without another degree lookup.
+    fwd = ed.filter(F.col("du") <= F.col("dv")).select(
+        F.col("u").alias("src"), F.col("v").alias("dst"),
+        F.col("dv").alias("ddeg"),
+    )
+    rev = ed.filter(F.col("du") > F.col("dv")).select(
+        F.col("v").alias("src"), F.col("u").alias("dst"),
+        F.col("du").alias("ddeg"),
+    )
+    oriented = fwd.unionByName(rev).localCheckpoint(eager=False)
+    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"),
+                         F.col("ddeg").alias("bdeg"))
+    e2 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"),
+                         F.col("ddeg").alias("cdeg"))
+    wedges = e1.join(e2, "a").filter(
+        (F.col("bdeg") < F.col("cdeg"))
+        | ((F.col("bdeg") == F.col("cdeg")) & (F.col("b") < F.col("c")))
+    )
+    closer = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closer, ["b", "c"]).select("a", "b", "c")
+    tcount = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("entity_id"))
+        .groupBy("entity_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return deg.join(tcount, "entity_id", "left").select(
+        "entity_id",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0).cast("long")).alias(
+            "n_triangles"
+        ),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                F.lit(2.0) * F.coalesce(F.col("n_triangles"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("clustering"),
+    )
+
+
+def triangles_sql() -> str:
+    from kg.oracles import edges_sql
+
+    return (
+        edges_sql().replace("SELECT * FROM edges", "")
+        + _ASSOC_CTE
+        + """,
+ed AS (
+  SELECT u, v, d1.degree AS du, d2.degree AS dv
+  FROM upairs
+  JOIN gdeg d1 ON d1.entity_id = u
+  JOIN gdeg d2 ON d2.entity_id = v
+),
+oriented AS (
+  SELECT CASE WHEN du <= dv THEN u ELSE v END AS src,
+         CASE WHEN du <= dv THEN v ELSE u END AS dst,
+         CASE WHEN du <= dv THEN dv ELSE du END AS ddeg
+  FROM ed
+),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM oriented e1
+  JOIN oriented e2 ON e1.src = e2.src
+   AND (e1.ddeg < e2.ddeg OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+  JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+),
+tcount AS (
+  SELECT entity_id, count(*) AS n_triangles FROM (
+    SELECT a AS entity_id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY entity_id
+)
+SELECT d.entity_id, d.degree,
+       coalesce(t.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN round(2.0 * coalesce(t.n_triangles, 0)
+                       / (d.degree * (d.degree - 1)), 6)
+            ELSE 0.0 END AS clustering
+FROM gdeg d LEFT JOIN tcount t USING (entity_id)"""
+    )
+
+
+LP_TOP_N = 20
+
+
+def q_link_prediction(
+    spark: SparkSession,
+    sf_dir: str,
+    top_n: int = LP_TOP_N,
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Neighborhood-Jaccard link prediction (Liben-Nowell & Kleinberg,
+    CIKM 2003) over the support-thresholded concept association graph:
+    the top_n non-adjacent pairs ranked by Jaccard overlap of their
+    neighborhoods — (node_u, node_v, common_neighbors, jaccard). Reads as
+    "concepts that don't yet co-occur strongly but share strong
+    associates" — the suggestion surface a KG curator reviews.
+
+    Shape: one wedge self-join through the common neighbor (the only
+    candidate generator — pairs with zero common neighbors score 0 and
+    can never rank, so nothing all-pairs), an anti-join against the
+    existing edge set, then a degree join and one global top-n
+    (TakeOrderedAndProject — per-partition heads, never a full sort).
+
+    The wedge CENTER is the skew point: a hub of degree d emits C(d,2)
+    candidate pairs. ``max_center_degree`` drops hub centers from
+    candidate generation (the standard LP approximation at scale — a
+    hub's neighborhood is near-uninformative for Jaccard anyway, since
+    it inflates the union for every pair it touches); the contract runs
+    exact (None) because the concept graph is vocabulary-bounded, the
+    same argument as q_two_hop. Ranking is totally ordered (jaccard
+    desc, node_u, node_v), so the top-n set is deterministic."""
+    und, deg = _association_graph(spark, sf_dir)
+    nbrs = und.select(
+        F.col("u").alias("b"), F.col("v").alias("x")
+    ).unionByName(und.select(F.col("v").alias("b"), F.col("u").alias("x")))
+    if max_center_degree is not None:
+        nbrs = nbrs.join(
+            deg.filter(F.col("degree") <= max_center_degree).select(
+                F.col("entity_id").alias("b")
+            ),
+            "b",
+        )
+    cand = (
+        nbrs.join(nbrs.select("b", F.col("x").alias("y")), "b")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("common_neighbors"))
+        .join(
+            und,
+            (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
+            "left_anti",
+        )
+    )
+    scored = (
+        cand.join(deg.select(F.col("entity_id").alias("x"),
+                             F.col("degree").alias("dx")), "x")
+        .join(deg.select(F.col("entity_id").alias("y"),
+                         F.col("degree").alias("dy")), "y")
+        .select(
+            F.col("x").alias("node_u"),
+            F.col("y").alias("node_v"),
+            "common_neighbors",
+            F.round(
+                F.col("common_neighbors")
+                / (F.col("dx") + F.col("dy") - F.col("common_neighbors")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard"), "node_u", "node_v"
+    ).limit(top_n)
+
+
+def link_prediction_sql(top_n: int = LP_TOP_N) -> str:
+    from kg.oracles import edges_sql
+
+    return (
+        edges_sql().replace("SELECT * FROM edges", "")
+        + _ASSOC_CTE
+        + f""",
+nbrs AS (
+  SELECT u AS b, v AS x FROM upairs
+  UNION ALL SELECT v, u FROM upairs
+),
+cand AS (
+  SELECT n1.x AS x, n2.x AS y, count(*) AS common_neighbors
+  FROM nbrs n1 JOIN nbrs n2 ON n1.b = n2.b AND n1.x < n2.x
+  GROUP BY n1.x, n2.x
+),
+nonadj AS (
+  SELECT c.* FROM cand c
+  ANTI JOIN upairs p ON c.x = p.u AND c.y = p.v
+)
+SELECT c.x AS node_u, c.y AS node_v, c.common_neighbors,
+       round(c.common_neighbors
+             / (d1.degree + d2.degree - c.common_neighbors), 6) AS jaccard
+FROM nonadj c
+JOIN gdeg d1 ON d1.entity_id = c.x
+JOIN gdeg d2 ON d2.entity_id = c.y
+ORDER BY jaccard DESC, node_u, node_v
+LIMIT {top_n}"""
+    )
+
+
 def q_pred_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         q_triples_surface(spark, sf_dir)

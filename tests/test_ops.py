@@ -150,11 +150,12 @@ def test_driver_window_is_fully_oracled():
     window, tail = qkeys[:50], qkeys[50:]
     missing = [k for k in window if k not in oracles]
     assert missing == [], f"in-window queries without oracle: {missing}"
-    # the round-4 operators rotated IN (round-4 VERDICT item 1) must
-    # actually sit in the window
+    # the operators rotated IN (round-4 VERDICT item 1 + the three new
+    # round-5 operators) must actually sit in the window
     for k in ("fn_embed_documents", "ss_text_query_topk",
               "ss_lsh_multiprobe_topk", "rl_sliding_admission",
-              "rl_stateful_admission", "ss_knn_graph"):
+              "rl_stateful_admission", "ss_knn_graph",
+              "kg_triangles", "kg_link_prediction", "ts_repetition"):
         assert k in window, k
     assert tail == [
         "kg_spans_raw",
@@ -167,11 +168,14 @@ def test_driver_window_is_fully_oracled():
         "rel_value_percentiles_approx",
         "ss_ivf_trained_topk",
         "ss_knn_graph_refined",
+        "dd_simhash",
+        "ts_fingerprint",
+        "md_media_features",
     ]
     # tail entries whose equality the judge CAN re-run still carry
     # oracles — every tail entry except the inherently approximate
-    # GK-sketch percentiles is oracle-backed, and the four rows demoted
-    # in the round-5 rotation are additionally pinned by
+    # GK-sketch percentiles is oracle-backed, and every row demoted in
+    # the round-5 rotations is additionally pinned by
     # test_op_matches_oracle below
     for k in tail:
         if k != "rel_value_percentiles_approx":

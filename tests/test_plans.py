@@ -189,3 +189,27 @@ def test_two_hop_self_join_reads_checkpoint_not_files(spark):
     p = _plan(df)
     assert p.count("FileScan") == 0, p
     assert "Scan ExistingRDD" in p, p
+
+
+def test_graph_analytics_plans(spark):
+    """Round-5 graph ops: link prediction's global top-n must plan as
+    TakeOrderedAndProject (per-partition heads, no full sort), and both
+    ops' joins must consume the checkpointed association-graph pair set
+    instead of re-deriving the corpus-sized extraction DAG per join side
+    (the q_two_hop landmine; triangles alone joins the pair set 5 times —
+    uncheckpointed that is 5 full corpus scans)."""
+    from kg.queries import q_link_prediction, q_triangles
+
+    lp = q_link_prediction(spark, SF_DIR)
+    lp.count()  # materialize the lazy checkpoints
+    p = _plan(lp)
+    assert "TakeOrderedAndProject" in p, p
+    # below the pair-set checkpoint the only scan is the doc-count literal
+    # already folded driver-side -> zero FileScans in the whole plan
+    assert p.count("FileScan") == 0, p
+
+    tri = q_triangles(spark, SF_DIR)
+    tri.count()
+    p = _plan(tri)
+    assert p.count("FileScan") == 0, p
+    assert "Scan ExistingRDD" in p, p
