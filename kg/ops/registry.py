@@ -117,6 +117,8 @@ def ops_tail_queries() -> dict[str, QueryFn]:
         "dd_simhash": dedup.simhash,
         "ts_fingerprint": textstats.fingerprint,
         "md_media_features": media.media_features,
+        # per-document top-k TF-IDF terms (round-5, fully oracled)
+        "ts_tfidf_topterms": textstats.tfidf_topterms,
     }
 
 
@@ -181,4 +183,5 @@ def ops_oracles() -> dict[str, str]:
         "ss_knn_graph": simsearch.knn_graph_sql(),
         "ss_knn_graph_refined": simsearch.knn_graph_refined_sql(),
         "ts_repetition": textstats.repetition_sql(),
+        "ts_tfidf_topterms": textstats.tfidf_topterms_sql(),
     }

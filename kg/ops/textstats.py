@@ -267,6 +267,76 @@ SELECT *,
 FROM out"""
 
 
+TFIDF_TOP_K = 3
+
+
+def tfidf_topterms(
+    spark: SparkSession, sf_dir: str, k: int = TFIDF_TOP_K
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — (doc_id, term_rank, term, tf,
+    df, tfidf): the classic keyword-extraction / relevance-weighting op
+    a search or training-data pipeline runs over every corpus.
+
+    tfidf = tf * ln((N+1)/(df+1)) (add-one smoothed idf), rounded to 6
+    decimals BEFORE ranking so Spark and DuckDB rank the identical
+    numbers; residual libm-ln last-ulp variance is the same accepted
+    class as the existing round()ed divisions. Ties break on the term
+    string, so the per-doc top-k set is fully deterministic.
+
+    Scale shape: three shuffles, all key-bounded — tf on (doc_id, term),
+    document frequency on term (count-only, map-side partials, so a
+    stopword term is one partial per partition, never a hot reduce key),
+    and the per-doc top-k window on doc_id (document-bounded partitions,
+    never a global sort). The tf⟕df join is term-keyed; AQE's skew-join
+    handles the stopword fan-out at 100 TB."""
+    n_docs = _docs(spark, sf_dir).count()
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(_toks()).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf")
+            * F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)),
+            6,
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select("doc_id", "term_rank", "term", "tf", "df", "tfidf")
+    )
+
+
+def tfidf_topterms_sql(k: int = TFIDF_TOP_K) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text,' '), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         round(tf.tf * ln((nd.n + 1.0) / (dfreq.df + 1)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS term_rank
+  FROM scored
+)
+SELECT doc_id, term_rank, term, tf, df, tfidf
+FROM ranked WHERE term_rank <= {k}"""
+
+
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive content fingerprint: md5 of the sorted distinct
     token list (reference analog: the dedup hash, D1)."""

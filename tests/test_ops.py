@@ -49,6 +49,7 @@ def test_registry_complete():
         (textstats.token_count, textstats.token_count_sql()),
         (textstats.fingerprint, textstats.fingerprint_sql()),
         (textstats.repetition, textstats.repetition_sql()),
+        (textstats.tfidf_topterms, textstats.tfidf_topterms_sql()),
         (media.media_features, media.media_features_sql()),
     ],
     ids=lambda x: getattr(x, "__name__", "sql"),
@@ -171,6 +172,7 @@ def test_driver_window_is_fully_oracled():
         "dd_simhash",
         "ts_fingerprint",
         "md_media_features",
+        "ts_tfidf_topterms",
     ]
     # tail entries whose equality the judge CAN re-run still carry
     # oracles — every tail entry except the inherently approximate
