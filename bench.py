@@ -154,9 +154,41 @@ def main() -> None:
     timed("rel_pricing_summary", relational.pricing_summary)
     timed("rel_revenue_by_nation", relational.revenue_by_nation)
 
+    # serving index (round-4 VERDICT item 7): the reference's serving
+    # bench answers every query through its ANN index (bench/
+    # workloadTest.py:39-55 hits the API, which searches HNSW at ef=100 —
+    # api/milvus_adapter.py:80-94), so the harness here builds the
+    # trained-IVF partition-pruned index ONCE and serves through it, with
+    # brute force kept as the exact floor it is measured against.
+    from kg.ops.simsearch import (
+        QUERY_VEC_ID,
+        _small_vecs,
+        build_ivf_index,
+        ivf_dials,
+        ivf_topk_indexed,
+        train_ivf_centroids,
+    )
+
+    n_vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    idx_cells, idx_probe = ivf_dials(n_vec)
+    idx_dir = tempfile.mkdtemp(prefix="kg_ivf_idx_")
+    t0 = time.time()
+    trained_cents = train_ivf_centroids(spark, sf_dir, n_cells=idx_cells)
+    build_ivf_index(
+        spark, sf_dir, idx_dir, n_cells=idx_cells, centroids=trained_cents
+    )
+    index_build_s = round(time.time() - t0, 3)
+    query_vec = _small_vecs(spark, sf_dir, need_max=max(QUERY_VEC_ID, idx_cells))[
+        QUERY_VEC_ID
+    ]
+
+    def indexed_query():
+        ivf_topk_indexed(spark, idx_dir, query_vec, n_probe=idx_probe).count()
+
     # cold/warm latency analog (reference bench/coldWarmLatency.py:34-66):
     # same query twice in one session — first pays plan compilation +
-    # scan-cache misses, repeat measures the steady-state path
+    # scan-cache misses, repeat measures the steady-state path. Reported
+    # for the in-session LSH path AND the served (indexed) path.
     gc_pause()
     t0 = time.time()
     simsearch.lsh_topk(spark, sf_dir).count()
@@ -164,33 +196,52 @@ def main() -> None:
     t0 = time.time()
     simsearch.lsh_topk(spark, sf_dir).count()
     warm = round(time.time() - t0, 3)
+    t0 = time.time()
+    indexed_query()
+    cold_indexed = round(time.time() - t0, 3)
+    t0 = time.time()
+    indexed_query()
+    warm_indexed = round(time.time() - t0, 3)
 
-    # concurrent-workload analog (reference bench/workloadTest.py:39-55
-    # drives constant RPS against the serving API; here: 8 client threads
-    # saturating the session with the LSH query for ~8 s — Spark's
-    # FIFO scheduler interleaves the small jobs across cores)
+    # concurrent-workload analog: 8 client threads saturating the session
+    # for ~5 s per variant — Spark's FIFO scheduler interleaves the small
+    # jobs across cores. Three variants: brute-force exact floor, LSH
+    # bucket path, and the served trained-IVF indexed path (p95s of the
+    # floor and the served path are the round-4 item-7 deliverable).
     import statistics
     from concurrent.futures import ThreadPoolExecutor
 
-    gc_pause()
-    lat: list[float] = []
+    def run_workload(fn, seconds: float = 5.0) -> dict:
+        gc_pause()
+        lat: list[float] = []
 
-    def one_query() -> float:
-        t = time.time()
-        simsearch.lsh_topk(spark, sf_dir).count()
-        return time.time() - t
+        def one_query(_) -> float:
+            t = time.time()
+            fn()
+            return time.time() - t
 
-    deadline = time.time() + 8.0
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        while time.time() < deadline:
-            lat.extend(pool.map(lambda _: one_query(), range(8)))
-    lat.sort()
+        deadline = time.time() + seconds
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            while time.time() < deadline:
+                lat.extend(pool.map(one_query, range(8)))
+        lat.sort()
+        return {
+            "n_queries": len(lat),
+            "qps": round(len(lat) / seconds, 1),
+            "p50_ms": round(1000 * statistics.median(lat), 1),
+            "p95_ms": round(1000 * lat[int(0.95 * (len(lat) - 1))], 1),
+        }
+
     workload = {
-        "n_queries": len(lat),
-        "qps": round(len(lat) / 8.0, 1),
-        "p50_ms": round(1000 * statistics.median(lat), 1),
-        "p95_ms": round(1000 * lat[int(0.95 * (len(lat) - 1))], 1),
+        "bruteforce": run_workload(
+            lambda: simsearch.bruteforce_topk(spark, sf_dir).count()
+        ),
+        "lsh": run_workload(lambda: simsearch.lsh_topk(spark, sf_dir).count()),
+        "ivf_indexed": run_workload(indexed_query),
+        "ivf_index_build_s": index_build_s,
+        "ivf_dials": {"n_cells": idx_cells, "n_probe": idx_probe},
     }
+    shutil.rmtree(idx_dir, ignore_errors=True)
 
     # ANN recall@10 (reference acceptance criterion is quality+latency:
     # HNSW recall dial `ef`, project idea.pdf p.6). The sf* embeddings are
@@ -268,7 +319,12 @@ def main() -> None:
                 "kg_pipeline_e2e_scaled": stats_rep["walls"],
             },
             "query_walls_best_of_2": query_walls,
-            "cold_warm": {"cold": cold, "warm": warm},
+            "cold_warm": {
+                "cold": cold,
+                "warm": warm,
+                "cold_indexed": cold_indexed,
+                "warm_indexed": warm_indexed,
+            },
             "workload": workload,
             "topk_sweep": topk_sweep,
             "ann_recall": recall,
