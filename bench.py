@@ -59,11 +59,26 @@ def _steal_sample() -> float | None:
     return _steal_pct(a, _stat_snap())
 
 
+def _cpu_calibration_s() -> float:
+    """Wall seconds for a FIXED single-thread integer workload (~1.3 s on
+    this VM when quiet). /proc/stat steal does NOT capture all of this
+    host's contention (measured: a 6x-inflated pipeline wall with 4%
+    reported steal), so the bench carries its own absolute yardstick —
+    cross-round wall comparisons should be read as wall/calibration
+    ratios, not raw seconds."""
+    t0 = time.time()
+    x = 0
+    for i in range(20_000_000):
+        x += i * i
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
     steal_before = _steal_sample()
+    calib_before = _cpu_calibration_s()
 
     spark = get_spark(app="kg-bench", cores=cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -330,6 +345,10 @@ def main() -> None:
             "ann_recall": recall,
             "queries_steal_pct": queries_steal,
             "cpu_steal_pct": {"before": steal_before, "after": _steal_sample()},
+            "cpu_calibration_s": {
+                "before": calib_before,
+                "after": _cpu_calibration_s(),
+            },
         }
     }
     # bulky detail: earlier stdout line + a file, NEVER the final line —
@@ -354,6 +373,7 @@ def main() -> None:
         "triples_per_sec_scaled": stats_rep["triples_per_sec"],
         "edges_total_scaled": stats_rep["edges_total"],
         "max_steal_pct": max(steal_vals) if steal_vals else None,
+        "calib_s": calib_before,
         "cpus": cpus,
     }
     line = json.dumps(headline)
