@@ -119,6 +119,14 @@ def ops_tail_queries() -> dict[str, QueryFn]:
         "md_media_features": media.media_features,
         # per-document top-k TF-IDF terms (round-5, fully oracled)
         "ts_tfidf_topterms": textstats.tfidf_topterms,
+        # round-5 session 2: the two classic missing-primitive joins as
+        # scale-safe compositions (as-of via union+running-window, range
+        # via integer time-binning) and a ROLLUP hierarchy aggregate —
+        # all three fully oracled (the as-of oracle is DuckDB's NATIVE
+        # ASOF LEFT JOIN, pinning the composition against the primitive)
+        "rel_asof_join": relational.asof_purchase_error,
+        "rel_range_join": relational.incident_window_counts,
+        "rel_rollup_revenue": relational.revenue_rollup,
     }
 
 
@@ -184,4 +192,7 @@ def ops_oracles() -> dict[str, str]:
         "ss_knn_graph_refined": simsearch.knn_graph_refined_sql(),
         "ts_repetition": textstats.repetition_sql(),
         "ts_tfidf_topterms": textstats.tfidf_topterms_sql(),
+        "rel_asof_join": relational.asof_purchase_error_sql(),
+        "rel_range_join": relational.incident_window_counts_sql(),
+        "rel_rollup_revenue": relational.revenue_rollup_sql(),
     }

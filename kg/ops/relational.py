@@ -380,3 +380,226 @@ SELECT doc_id,
        source || ':' || lang AS source_lang
 FROM documents
 WHERE text IS NOT NULL AND length(text) BETWEEN 100 AND 10000"""
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: the two classic "Spark lacks the primitive" joins
+# (as-of, interval/range) re-expressed as scale-safe compositions, plus a
+# ROLLUP hierarchy aggregate. Reference analog: the query layer's
+# time-scoped lookups (api/query_engine.py's filtered search paths); the
+# compositions themselves are the standard Spark-first designs.
+# ---------------------------------------------------------------------------
+
+INCIDENT_WINDOW_US = 600_000_000  # 10-minute incident windows (microseconds)
+
+
+def asof_purchase_error(
+    spark: SparkSession, sf_dir: str, how: str = "inner"
+) -> DataFrame:
+    """As-of join: for every purchase event, attach the most recent error
+    event by the same user at-or-before the purchase timestamp.
+
+    ``how='inner'`` (the contract form) keeps only purchases that HAVE a
+    prior error; ``how='left'`` keeps all purchases with nullable asof
+    columns. The contract pins the inner form deliberately: a nullable
+    TIMESTAMP output column is a hash-representation hazard (pandas
+    compares datetime64[ns] vs DuckDB's datetime64[us] by raw int64 when
+    NaT is present, so even value-identical frames mismatch — the same
+    class of drift scripts/check_contract.py::dtype_repr_findings guards
+    for decimals).
+
+    Spark has no ASOF JOIN primitive; the naive formulation (theta-join on
+    ``p.ts >= e.ts`` + argmax) degenerates to BroadcastNestedLoopJoin.
+    Scale-safe composition instead: tag both sides, UNION, and run ONE
+    running window over (user_id ordered by ts, side) taking
+    ``last(error_cols, ignorenulls)`` — a single shuffle on user_id,
+    linear per-partition work, no range explosion, and the running frame
+    is evaluated incrementally. Per-user skew is bounded by events/user;
+    at 100 TB a hot user would be range-partitioned by (user_id, ts-day)
+    with per-day boundary seeds, same shape as the sessionize note.
+
+    Determinism: the error side is pre-deduped per (user_id, ts) keeping
+    the max-event_id row, so "at-or-before" has a unique winner in both
+    engines (DuckDB ASOF leaves equal-key ties unspecified otherwise).
+    Errors sort BEFORE purchases at equal ts (side 0 < 1) to match the
+    oracle's inclusive ``p.ts >= e.ts``.
+
+    Oracle: DuckDB's native ASOF LEFT JOIN.
+    Output (event_id, user_id, ts, value, asof_error_ts, asof_error_value).
+    """
+    ev = _t(spark, sf_dir, "events")
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("err_value"))
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    tagged = pur.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("double").alias("err_value"),
+    ).unionByName(
+        err.select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "ts",
+            F.lit(None).cast("double").alias("value"),
+            F.lit(0).alias("side"),
+            "err_value",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    err_ts = F.when(F.col("side") == 0, F.col("ts"))
+    err_val = F.when(F.col("side") == 0, F.col("err_value"))
+    out = (
+        tagged.withColumn("asof_error_ts", F.last(err_ts, ignorenulls=True).over(w))
+        .withColumn("asof_error_value", F.last(err_val, ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id", "user_id", "ts", "value", "asof_error_ts", "asof_error_value"
+        )
+    )
+    if how == "inner":
+        out = out.filter(F.col("asof_error_ts").isNotNull())
+    return out
+
+
+def asof_purchase_error_sql() -> str:
+    return """
+WITH err AS (
+  SELECT user_id, ts, max_by(value, event_id) AS err_value
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+), pur AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       e.ts AS asof_error_ts, e.err_value AS asof_error_value
+FROM pur p ASOF JOIN err e
+  ON p.user_id = e.user_id AND p.ts >= e.ts"""
+
+
+def incident_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: every error event opens a 10-minute incident
+    window [ts, ts+10min); count ALL events (any user — no equi key) that
+    fall inside each window, with a decimal-exact value sum.
+
+    A pure inequality join is a BroadcastNestedLoopJoin in Spark —
+    O(n*m) and a driver-memory bomb at scale. Scale-safe composition:
+    bucketize time into fixed bins the size of the window, explode each
+    window to the (at most 2) bins it overlaps, equi-join on bin, then
+    re-check the exact range. All bin math is int64 microseconds with
+    integer division (``div`` / ``//``), so Spark and DuckDB place every
+    boundary event identically — no float epoch anywhere. An event lives
+    in exactly ONE bin, so no (window, event) pair can match twice and no
+    post-dedup is needed. The join is a plain equi-join on ``bin`` —
+    shuffle-partitioned, AQE-skew-splittable; tests/test_plans.py gates
+    that no BroadcastNestedLoopJoin/CartesianProduct appears.
+
+    Oracle: the naive inequality join in DuckDB (exact at sf0.01).
+    Output (incident_id, n_events, sum_value); n_events >= 1 because a
+    window always contains its opening error event.
+    """
+    ev = _t(spark, sf_dir, "events")
+    win_us = F.lit(INCIDENT_WINDOW_US)
+    # ts is TIMESTAMP_NTZ; session TZ is pinned UTC, so the cast interprets
+    # naive == UTC — exactly DuckDB's epoch_us on a naive timestamp
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        us.alias("w_start"),
+        (us + win_us).alias("w_end"),
+    )
+    wbins = err.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"w_start div {INCIDENT_WINDOW_US}"),
+                F.expr(f"(w_end - 1) div {INCIDENT_WINDOW_US}"),
+            )
+        ),
+    )
+    evb = ev.select(
+        F.col("event_id").alias("ev_id"),
+        us.alias("ev_us"),
+        F.col("value").cast(DEC).alias("ev_value"),
+    ).withColumn("bin", F.expr(f"ev_us div {INCIDENT_WINDOW_US}"))
+    joined = wbins.join(
+        evb,
+        (wbins["bin"] == evb["bin"])
+        & (evb["ev_us"] >= wbins["w_start"])
+        & (evb["ev_us"] < wbins["w_end"]),
+        "left",
+    )
+    zero = F.lit("0").cast(DEC)
+    return joined.groupBy("incident_id").agg(
+        F.count("ev_id").alias("n_events"),
+        F.coalesce(F.sum("ev_value"), zero).cast("double").alias("sum_value"),
+    )
+
+
+def incident_window_counts_sql() -> str:
+    w = INCIDENT_WINDOW_US
+    return f"""
+WITH err AS (
+  SELECT event_id AS incident_id,
+         epoch_us(ts) AS w_start,
+         epoch_us(ts) + {w} AS w_end
+  FROM events WHERE event_type = 'error'
+)
+SELECT incident_id,
+       count(e.event_id) AS n_events,
+       CAST(coalesce(sum(CAST(e.value AS decimal(18,4))), 0) AS double)
+         AS sum_value
+FROM err LEFT JOIN events e
+  ON epoch_us(e.ts) >= err.w_start AND epoch_us(e.ts) < err.w_end
+GROUP BY incident_id"""
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (region -> nation -> grand total) of order
+    revenue — the hypertable-rollup-style aggregate a reporting layer
+    runs. One pass: Spark expands the rollup into grouping sets with
+    map-side partial aggregation; dims are broadcast so the only shuffle
+    is the final agg. ``lvl`` is the standard GROUPING bit-vector
+    (r_name is the high bit in both engines), disambiguating real NULLs
+    from subtotal rows. Oracle: DuckDB GROUP BY ROLLUP."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("long").alias("lvl"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select("r_name", "n_name", "lvl", "revenue", "n_orders")
+    )
+
+
+def revenue_rollup_sql() -> str:
+    return """
+SELECT r_name, n_name,
+       CAST(GROUPING(r_name, n_name) AS bigint) AS lvl,
+       CAST(sum(CAST(o_totalprice AS decimal(18,4))) AS double) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)"""

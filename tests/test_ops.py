@@ -51,6 +51,13 @@ def test_registry_complete():
         (textstats.repetition, textstats.repetition_sql()),
         (textstats.tfidf_topterms, textstats.tfidf_topterms_sql()),
         (media.media_features, media.media_features_sql()),
+        # round-5 session 2: missing-primitive joins + rollup (the as-of
+        # pin is against DuckDB's NATIVE ASOF JOIN, so the union+window
+        # composition is checked against the real primitive)
+        (relational.asof_purchase_error, relational.asof_purchase_error_sql()),
+        (relational.incident_window_counts,
+         relational.incident_window_counts_sql()),
+        (relational.revenue_rollup, relational.revenue_rollup_sql()),
     ],
     ids=lambda x: getattr(x, "__name__", "sql"),
 )
@@ -173,6 +180,9 @@ def test_driver_window_is_fully_oracled():
         "ts_fingerprint",
         "md_media_features",
         "ts_tfidf_topterms",
+        "rel_asof_join",
+        "rel_range_join",
+        "rel_rollup_revenue",
     ]
     # tail entries whose equality the judge CAN re-run still carry
     # oracles — every tail entry except the inherently approximate
@@ -213,3 +223,18 @@ def test_bpe_pretokenizer_token_lists_match_duckdb(spark, duck):
         for s in samples
     ]
     assert got == want
+
+
+def test_asof_left_form_keeps_all_purchases(spark):
+    """how='left' returns exactly one row per purchase (nullable asof
+    cols); its non-null subset must equal the contract's inner form (the
+    inner form exists only because a nullable TIMESTAMP column is a hash-
+    representation hazard, not because the semantics differ)."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_pur = ev.filter(F.col("event_type") == "purchase").count()
+    left = relational.asof_purchase_error(spark, SF_DIR, how="left")
+    assert left.count() == n_pur
+    inner = relational.asof_purchase_error(spark, SF_DIR)
+    matched = left.filter(F.col("asof_error_ts").isNotNull())
+    assert matched.exceptAll(inner).count() == 0
+    assert inner.exceptAll(matched).count() == 0

@@ -213,3 +213,40 @@ def test_graph_analytics_plans(spark):
     p = _plan(tri)
     assert p.count("FileScan") == 0, p
     assert "Scan ExistingRDD" in p, p
+
+
+def test_range_join_plans_binned_not_nested_loop(spark):
+    """The interval join must execute as a binned EQUI-join (shuffle- or
+    broadcast-hash on the bin key), never the BroadcastNestedLoopJoin the
+    naive theta-join formulation degenerates to — at 100 TB a nested-loop
+    over events x incident-windows is O(n*m). The naive control below
+    proves Spark really does pick the nested loop for the plain
+    inequality predicate, so the gate is meaningful."""
+    p = _plan(relational.incident_window_counts(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "Join" in p, p  # it IS still a join — just an equi one
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("w_start"),
+    )
+    naive = err.join(
+        ev,
+        (ev["ts"] >= err["w_start"])
+        & (ev["ts"] < err["w_start"] + F.expr("INTERVAL 10 MINUTES")),
+        "left",
+    )
+    assert "BroadcastNestedLoopJoin" in _plan(naive)
+
+
+def test_asof_join_is_join_free(spark):
+    """The as-of composition is union + ONE running window — there must be
+    no join operator anywhere in the plan (the naive ASOF formulation is a
+    theta-join), and the only exchanges are the error-side dedupe and the
+    per-user window partitioning."""
+    p = _plan(relational.asof_purchase_error(spark, SF_DIR))
+    assert "Join" not in p, p
+    assert p.count("Exchange") <= 3, p
+    assert "hashpartitioning(user_id" in p, p
