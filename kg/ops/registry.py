@@ -127,6 +127,10 @@ def ops_tail_queries() -> dict[str, QueryFn]:
         "rel_asof_join": relational.asof_purchase_error,
         "rel_range_join": relational.incident_window_counts,
         "rel_rollup_revenue": relational.revenue_rollup,
+        # product quantization: 32x-compressed ADC scoring + exact
+        # shortlist re-rank (fully oracled; the codebook follows the same
+        # vec-id-slot stand-in rule as the untrained IVF quantizer)
+        "ss_pq_topk": simsearch.pq_topk,
     }
 
 
@@ -195,4 +199,5 @@ def ops_oracles() -> dict[str, str]:
         "rel_asof_join": relational.asof_purchase_error_sql(),
         "rel_range_join": relational.incident_window_counts_sql(),
         "rel_rollup_revenue": relational.revenue_rollup_sql(),
+        "ss_pq_topk": simsearch.pq_topk_sql(),
     }

@@ -1436,3 +1436,170 @@ SELECT vec_id, nbr_id, cos, nn_rank FROM (
            PARTITION BY vec_id ORDER BY cos DESC, nbr_id ASC) AS nn_rank
   FROM scored
 ) WHERE nn_rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (round-5 session 2): the canonical 100 TB ANN
+# memory answer — vectors compress to M one-byte codes (here 8 codes vs
+# 64 x 4 B floats, 32x), candidate scoring reads ONLY the codes via an
+# M-entry lookup table per subspace, and the exact re-rank touches just
+# the shortlist. Reference analog: the HNSW index slot
+# (infra/scripts/build_index.py:17-24) — PQ is the complementary
+# compression half of a production IVF-PQ index (Jegou et al., TPAMI
+# 2011, "Product Quantization for Nearest Neighbor Search").
+# ---------------------------------------------------------------------------
+
+PQ_SUBSPACES = 8
+PQ_CODES = 16
+PQ_SHORTLIST = 4 * TOP_K
+
+
+def _pq_codebook(
+    spark: SparkSession, sf_dir: str, m_sub: int, n_codes: int
+) -> list[list[float]]:
+    """Deterministic sample-anchored codebook: code c in every subspace is
+    the matching slice of corpus vector c (same stand-in rule as the
+    untrained IVF quantizer — vec-id slots; swap in the exact-integer
+    k-means trainer per subspace for a trained codebook, exactly as
+    ``train_ivf_centroids`` upgraded ``ivf_topk``)."""
+    vecs = _small_vecs(spark, sf_dir, need_max=n_codes - 1)
+    return [vecs[c] for c in range(n_codes)]
+
+
+def pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    m_sub: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+    shortlist: int = PQ_SHORTLIST,
+    query_vec_id: int = QUERY_VEC_ID,
+) -> DataFrame:
+    """PQ-ADC top-k: encode each vector as ``m_sub`` codebook codes
+    (argmin squared distance per subspace), score candidates by the
+    asymmetric-distance lookup sum, TakeOrderedAndProject a shortlist,
+    then re-rank the shortlist by the EXACT dot. Output
+    (vec_id, rank, cos, adc).
+
+    Scale shape: encoding and ADC scoring are pure per-row expressions
+    against literal codebook/lookup tables (the codebook is m_sub x
+    n_codes x (dim/m_sub) doubles — KBs, a broadcast-as-literals), so the
+    plan has ZERO joins and zero exchanges below the shortlist top-k; the
+    exact re-rank reads full vectors for ``shortlist`` rows only. At
+    100 TB the codes live in their own 8-byte-per-vector table and the
+    re-rank is a shortlist-sized join back to the vector table.
+
+    Bit-exactness: argmin uses cost = |c_j|^2 - 2<v_j, c_j> (the |v_j|^2
+    term is constant per row), every dot is the same left-fold both
+    engines use for the exact cos (``_dot_lit`` vs DuckDB
+    ``list_dot_product``), ties break to the lowest code id via
+    first-occurrence array_position/list_position, and the ADC partials
+    are driver-computed literals that DuckDB re-derives bit-identically.
+    """
+    from functools import reduce
+    from operator import add
+
+    cb = _pq_codebook(spark, sf_dir, m_sub, n_codes)
+    qv, base = _query_base(spark, sf_dir, query_vec_id, None)
+    dim = len(qv)
+    assert dim % m_sub == 0, (dim, m_sub)
+    sub = dim // m_sub
+
+    code_cols = []
+    adc_terms = []
+    for j in range(m_sub):
+        lo = j * sub
+        vj = F.slice(F.col("v"), lo + 1, sub)
+        costs = []
+        for c in range(n_codes):
+            cj = cb[c][lo : lo + sub]
+            costs.append(F.lit(_py_dot(cj, cj)) - 2.0 * _dot_lit(vj, cj))
+        scores = F.array(*costs)
+        code_cols.append(
+            F.array_position(scores, F.array_min(scores)).alias(f"code_{j}")
+        )
+        partials = [_py_dot(qv[lo : lo + sub], cb[c][lo : lo + sub])
+                    for c in range(n_codes)]
+        adc_terms.append((j, partials))
+
+    enc = base.select("vec_id", "v", *code_cols)
+    adc = reduce(
+        add,
+        [F.element_at(_lit_vec(p), F.col(f"code_{j}").cast("int"))
+         for j, p in adc_terms],
+    )
+    short = (
+        enc.withColumn("adc", F.round(adc, 4))
+        .orderBy(F.desc("adc"), F.asc("vec_id"))
+        .limit(shortlist)
+    )
+    rer = short.withColumn("cos", F.round(_dot_lit(F.col("v"), qv), 4))
+    topk = rer.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "vec_id", "rank", "cos", "adc"
+    )
+
+
+def pq_topk_sql(
+    k: int = TOP_K,
+    m_sub: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+    shortlist: int = PQ_SHORTLIST,
+    dim: int = 64,
+    query_vec_id: int = QUERY_VEC_ID,
+) -> str:
+    """DuckDB oracle for :func:`pq_topk`: re-derives the codebook from the
+    same vec-id-slot rule, encodes, ADC-scores and re-ranks with the same
+    fixed-order double arithmetic (one single-row anchor CTE cross-joined
+    in, so every per-row expression references plain columns)."""
+    sub = dim // m_sub
+    anchor_cols = []
+    for j in range(m_sub):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        anchor_cols.append(
+            f"(SELECT v[{lo}:{hi}] FROM e WHERE vec_id = {query_vec_id}) AS q_{j}"
+        )
+        for c in range(n_codes):
+            anchor_cols.append(
+                f"(SELECT v[{lo}:{hi}] FROM e WHERE vec_id = {c}) AS a_{j}_{c}"
+            )
+    adc_parts = []
+    for j in range(m_sub):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        costs = ", ".join(
+            f"(list_dot_product(a_{j}_{c}, a_{j}_{c})"
+            f" - 2.0 * list_dot_product(v[{lo}:{hi}], a_{j}_{c}))"
+            for c in range(n_codes)
+        )
+        partials = ", ".join(
+            f"list_dot_product(q_{j}, a_{j}_{c})" for c in range(n_codes)
+        )
+        adc_parts.append(
+            f"([{partials}])[list_position([{costs}],"
+            f" list_aggregate([{costs}], 'min'))]"
+        )
+    adc_expr = " + ".join(adc_parts)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings
+),
+anchors AS (SELECT {", ".join(anchor_cols)}),
+scored AS (
+  SELECT vec_id, v, round({adc_expr}, 4) AS adc
+  FROM e CROSS JOIN anchors WHERE vec_id <> {query_vec_id}
+),
+short AS (
+  SELECT vec_id, v, adc FROM scored ORDER BY adc DESC, vec_id LIMIT {shortlist}
+),
+rer AS (
+  SELECT vec_id, adc,
+         round(list_dot_product(v,
+           (SELECT v FROM e WHERE vec_id = {query_vec_id})), 4) AS cos
+  FROM short
+)
+SELECT vec_id, rank, cos, adc FROM (
+  SELECT vec_id, cos, adc,
+         row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM rer
+) WHERE rank <= {k}"""

@@ -250,3 +250,16 @@ def test_asof_join_is_join_free(spark):
     assert "Join" not in p, p
     assert p.count("Exchange") <= 3, p
     assert "hashpartitioning(user_id" in p, p
+
+
+def test_pq_encode_and_adc_are_join_and_shuffle_free(spark):
+    """PQ encoding + ADC scoring are per-row expressions against literal
+    codebook/lookup tables: the plan below the shortlist top-k must hold
+    no join and no exchange of any kind (TakeOrderedAndProject's own
+    single-partition merge is the only data movement), and the shortlist
+    must plan as TakeOrderedAndProject — the 100 TB shape where scoring
+    reads only the 8-byte codes."""
+    p = _plan(simsearch.pq_topk(spark, SF_DIR))
+    assert "Join" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "TakeOrderedAndProject" in p, p

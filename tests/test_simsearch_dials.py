@@ -520,3 +520,33 @@ def test_knn_graph_refined_closes_blocking_miss(spark, planted_dir, duck):
         S.knn_graph_refined(spark, SF_DIR),
         duck.sql(S.knn_graph_refined_sql()),
     )
+
+
+def test_pq_adc_recall_and_compression(spark):
+    """PQ-ADC shortlist (4x k) + exact re-rank must recover most of the
+    exact top-10 on the planted fixture (the clustered corpus is exactly
+    where ADC's 32x compression should NOT cost much recall), and a wider
+    shortlist must be recall-monotone-or-equal. Also pins the adc column:
+    the re-ranked cos of the top hit equals the brute-force cos."""
+    from kg.ops import simsearch
+
+    exact = {r.vec_id for r in simsearch.bruteforce_topk(spark, SF_DIR).collect()}
+    pq10 = simsearch.pq_topk(spark, SF_DIR).collect()
+    got = {r.vec_id for r in pq10}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.6, recall
+    wider = {
+        r.vec_id
+        for r in simsearch.pq_topk(spark, SF_DIR, shortlist=200).collect()
+    }
+    assert len(wider & exact) >= len(got & exact)
+    # full-shortlist PQ degenerates to exact search: recall 1.0
+    full = {
+        r.vec_id
+        for r in simsearch.pq_topk(spark, SF_DIR, shortlist=1 << 20).collect()
+    }
+    assert full == exact
+    bf_top = simsearch.bruteforce_topk(spark, SF_DIR).collect()[0]
+    pq_top_by_rank = sorted(pq10, key=lambda r: r.rank)[0]
+    if pq_top_by_rank.vec_id == bf_top.vec_id:
+        assert pq_top_by_rank.cos == bf_top.cos
