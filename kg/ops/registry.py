@@ -17,7 +17,12 @@ from kg.ops import (
     textfns,
     textstats,
 )
-from kg.streaming import windowed_event_counts_batch, windowed_event_counts_sql
+from kg.streaming import (
+    sessionize_native_sql,
+    sessionize_window_batch,
+    windowed_event_counts_batch,
+    windowed_event_counts_sql,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -131,6 +136,11 @@ def ops_tail_queries() -> dict[str, QueryFn]:
         # shortlist re-rank (fully oracled; the codebook follows the same
         # vec-id-slot stand-in rule as the untrained IVF quantizer)
         "ss_pq_topk": simsearch.pq_topk,
+        # batch twin of the native session_window streaming sessionizer
+        # (round-5 session 3); oracle = the lag-window sessionize oracle
+        # projected to the shared rollup columns (boundary fine print
+        # asserted moot in tests/test_streaming.py)
+        "ev_sessionize_native": sessionize_window_batch,
     }
 
 
@@ -200,4 +210,5 @@ def ops_oracles() -> dict[str, str]:
         "rel_range_join": relational.incident_window_counts_sql(),
         "rel_rollup_revenue": relational.revenue_rollup_sql(),
         "ss_pq_topk": simsearch.pq_topk_sql(),
+        "ev_sessionize_native": sessionize_native_sql(),
     }

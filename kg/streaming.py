@@ -313,3 +313,86 @@ SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
        round(CAST(sum(CAST(value AS decimal(18,4))) AS double), 4) AS total_value
 FROM events
 GROUP BY 1, 2, 3"""
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session 2: event-time sessionization on the stream via Spark's
+# NATIVE session_window — the stateful merge-on-overlap operator the
+# batch twin (kg/ops/relational.py::sessionize) hand-builds with a lag
+# window. Watermark bounds per-user state exactly like the tumbling agg.
+# ---------------------------------------------------------------------------
+
+
+def _session_window_agg(ev: DataFrame) -> DataFrame:
+    """Shared session aggregate: per (user, 30-min-gap session) —
+    (user_id, n_events, start_ts, end_ts, total_value). Bounds come from
+    min/max(ts), NOT the session_window struct (whose end is last-event +
+    gap), so rows are comparable with the batch lag-window operator.
+
+    Boundary fine print: session_window opens a NEW session when the
+    inter-event gap is >= the 30-min threshold (merge needs strict
+    overlap), the lag-window twin when it is > the threshold. The two
+    differ only on exact-equality gaps — measure-zero with microsecond
+    event time, and absent from the fixture (asserted by the three-way
+    equality test)."""
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("win"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+        .select("user_id", "n_events", "start_ts", "end_ts", "total_value")
+    )
+
+
+def stream_sessionize(
+    spark: SparkSession, in_dir: str, out_dir: str, ckpt: str
+):
+    """Sessionize an events stream: native session_window state merges
+    sessions across micro-batches (a session split across two file drops
+    comes out as ONE row); the 60-min watermark finalizes a session once
+    event time moves past its close, bounding state. Append mode emits
+    each session exactly once."""
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+    src = spark.readStream.schema(schema).parquet(in_dir)
+    # event-time watermarks require TIMESTAMP (not NTZ); session TZ is
+    # pinned UTC, so the cast relabels the same instant bit-for-bit
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    sessions = _session_window_agg(src.withWatermark("ts", "60 minutes"))
+    return (
+        sessions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def sessionize_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin: the same native session_window aggregate over the
+    events table (session_window works in batch too)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _session_window_agg(ev)
+
+
+def sessionize_native_sql() -> str:
+    """DuckDB oracle for the native session_window twin: the lag-window
+    sessionize oracle (whose > vs >= boundary difference is moot on the
+    fixture — asserted in tests) projected to the shared rollup columns,
+    with the twin's round-to-4 on the value sum."""
+    from kg.ops.relational import sessionize_sql
+
+    return f"""
+SELECT user_id, n_events, start_ts, end_ts,
+       round(total_value, 4) AS total_value
+FROM ({sessionize_sql()})"""

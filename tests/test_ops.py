@@ -185,6 +185,7 @@ def test_driver_window_is_fully_oracled():
         "rel_range_join",
         "rel_rollup_revenue",
         "ss_pq_topk",
+        "ev_sessionize_native",
     ]
     # tail entries whose equality the judge CAN re-run still carry
     # oracles — every tail entry except the inherently approximate

@@ -195,3 +195,92 @@ def test_stream_rate_limit_state_carries_across_batches(spark, tmp_path):
         for r in RL.stateful_admission(spark, union_dir).collect()
     }
     assert got == want
+
+
+def test_session_window_batch_equals_lag_sessionize(spark):
+    """Three-way pin for the native session_window sessionizer: the batch
+    session_window aggregate must equal the hand-built lag-window operator
+    (rel_sessionize, which carries the DuckDB oracle) on the shared
+    rollup columns. Also proves the >= / > boundary fine print is moot on
+    this fixture: no inter-event gap is EXACTLY 30 minutes."""
+    from pyspark.sql import Window
+
+    from kg.ops.relational import SESSION_GAP_US, sessionize
+    from kg.streaming import sessionize_window_batch
+
+    # boundary precondition: zero exact-gap pairs in the fixture
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    exact_gaps = (
+        ev.select((us - F.lag(us).over(w)).alias("gap"))
+        .filter(F.col("gap") == SESSION_GAP_US)
+        .count()
+    )
+    assert exact_gaps == 0
+
+    cols = ["user_id", "n_events", "start_ts", "end_ts", "total_value"]
+    got = sessionize_window_batch(spark, SF_DIR).select(cols)
+    want = sessionize(spark, SF_DIR).select(cols)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_stream_sessionize_merges_across_batches(spark, tmp_path):
+    """A session split across two micro-batch file drops must come out of
+    the stream as ONE merged row (session_window state carries open
+    sessions across batches); once the watermark passes a session's
+    close, append mode emits it exactly once, equal to the batch twin."""
+    import datetime as dt
+
+    from kg.streaming import _session_window_agg, stream_sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+    # drop 1: user 1 opens a session (2 events); user 2 a singleton
+    drop1 = [
+        (1, m(0), 1, "view", 1.0, "{}"),
+        (2, m(10), 1, "view", 2.0, "{}"),
+        (3, m(0), 2, "buy", 5.0, "{}"),
+    ]
+    # drop 2: event 4 lands 15 min after event 2 -> MERGES into user 1's
+    # open session; event 5 opens a second user-1 session 2 h later; the
+    # sentinel (user 99, +10 h) drives the watermark past every close
+    drop2 = [
+        (4, m(25), 1, "view", 3.0, "{}"),
+        (5, m(120), 1, "buy", 7.0, "{}"),
+        (6, m(600), 99, "view", 0.0, "{}"),
+    ]
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(drop1, schema).write.parquet(in_dir)
+    stream_sessionize(spark, in_dir, out_dir, ckpt).awaitTermination(120)
+    spark.createDataFrame(drop2, schema).write.mode("append").parquet(in_dir)
+    stream_sessionize(spark, in_dir, out_dir, ckpt).awaitTermination(120)
+
+    got = {
+        (r.user_id, r.n_events, r.start_ts, r.end_ts, r.total_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # the split session surfaced as ONE 3-event row spanning both drops
+    assert (1, 3, m(0), m(25), 6.0) in got
+
+    # stream == batch session_window of the union, restricted to sessions
+    # the watermark finalized (all but the sentinel's own open session)
+    union = spark.createDataFrame(drop1 + drop2, schema)
+    want = {
+        (r.user_id, r.n_events, r.start_ts, r.end_ts, r.total_value)
+        for r in _session_window_agg(union).collect()
+        if r.user_id != 99
+    }
+    assert got == want and len(got) == 3
