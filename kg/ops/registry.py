@@ -136,6 +136,10 @@ def ops_tail_queries() -> dict[str, QueryFn]:
         # shortlist re-rank (fully oracled; the codebook follows the same
         # vec-id-slot stand-in rule as the untrained IVF quantizer)
         "ss_pq_topk": simsearch.pq_topk,
+        # IVF-PQ composition: coarse-cell pruning + ADC scoring + exact
+        # re-rank — the FAISS-style 10^12-vector serving path; oracle
+        # composes the two parent oracles' CTEs unchanged
+        "ss_ivfpq_topk": simsearch.ivfpq_topk,
         # batch twin of the native session_window streaming sessionizer
         # (round-5 session 3); oracle = the lag-window sessionize oracle
         # projected to the shared rollup columns (boundary fine print
@@ -210,5 +214,6 @@ def ops_oracles() -> dict[str, str]:
         "rel_range_join": relational.incident_window_counts_sql(),
         "rel_rollup_revenue": relational.revenue_rollup_sql(),
         "ss_pq_topk": simsearch.pq_topk_sql(),
+        "ss_ivfpq_topk": simsearch.ivfpq_topk_sql(),
         "ev_sessionize_native": sessionize_native_sql(),
     }

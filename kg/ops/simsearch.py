@@ -1496,11 +1496,30 @@ def pq_topk(
     first-occurrence array_position/list_position, and the ADC partials
     are driver-computed literals that DuckDB re-derives bit-identically.
     """
+    cb = _pq_codebook(spark, sf_dir, m_sub, n_codes)
+    qv, base = _query_base(spark, sf_dir, query_vec_id, None)
+    return _pq_shortlist_rerank(
+        base, cb, qv, k=k, m_sub=m_sub, n_codes=n_codes, shortlist=shortlist
+    )
+
+
+def _pq_shortlist_rerank(
+    base: DataFrame,
+    cb: list[list[float]],
+    qv: list[float],
+    *,
+    k: int,
+    m_sub: int,
+    n_codes: int,
+    shortlist: int,
+) -> DataFrame:
+    """Shared PQ tail: literal-codebook encode -> ADC lookup-sum score ->
+    shortlist top -> exact-dot re-rank. ``base`` is any (vec_id, v)
+    candidate frame (the whole corpus for :func:`pq_topk`, the probed
+    cells for :func:`ivfpq_topk`)."""
     from functools import reduce
     from operator import add
 
-    cb = _pq_codebook(spark, sf_dir, m_sub, n_codes)
-    qv, base = _query_base(spark, sf_dir, query_vec_id, None)
     dim = len(qv)
     assert dim % m_sub == 0, (dim, m_sub)
     sub = dim // m_sub
@@ -1541,18 +1560,62 @@ def pq_topk(
     )
 
 
-def pq_topk_sql(
+def ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
     k: int = TOP_K,
+    n_cells: int = IVF_CELLS,
+    n_probe: int = IVF_PROBE,
     m_sub: int = PQ_SUBSPACES,
     n_codes: int = PQ_CODES,
     shortlist: int = PQ_SHORTLIST,
-    dim: int = 64,
     query_vec_id: int = QUERY_VEC_ID,
-) -> str:
-    """DuckDB oracle for :func:`pq_topk`: re-derives the codebook from the
-    same vec-id-slot rule, encodes, ADC-scores and re-ranks with the same
-    fixed-order double arithmetic (one single-row anchor CTE cross-joined
-    in, so every per-row expression references plain columns)."""
+) -> DataFrame:
+    """IVF-PQ: the composed FAISS-style serving path for 10^12-vector
+    corpora (reference analog: the Milvus collection the API searches,
+    ``api/milvus_adapter.py:80-94``, whose production configs pair a
+    coarse quantizer with PQ codes). Coarse-quantizer cell assignment
+    prunes the corpus to ``n_probe`` cells (at scale: parquet partition
+    pruning via :func:`build_ivf_index`'s layout — the scan never touches
+    the other cells), PQ-ADC lookup sums score ONLY the probed candidates
+    (8 bytes/vector instead of dim floats), and the exact dot re-ranks a
+    ``shortlist``-sized remainder. Output (vec_id, rank, cos, adc).
+
+    Scale shape: both stages are pure per-row expressions against literal
+    tables (centroids: n_cells x dim; codebook: m_sub x n_codes x
+    (dim/m_sub) — KBs each), so the plan is join-free and exchange-free
+    below the shortlist top-k, and the candidate set the ADC stage ever
+    materializes is n_probe/n_cells of the corpus. Bit-exactness is
+    inherited from both parents (first-occurrence argmin/argmax
+    tie-breaks, fixed-order double folds); the DuckDB oracle composes the
+    two parent oracles' CTEs unchanged.
+    """
+    vecs = _small_vecs(
+        spark, sf_dir, need_max=max(query_vec_id, n_cells, n_codes - 1)
+    )
+    cents = [(cell, vecs[cell]) for cell in range(1, n_cells + 1)]
+    cb = [vecs[c] for c in range(n_codes)]
+    qv, base = _query_base(spark, sf_dir, query_vec_id, None)
+
+    assigned = base.withColumn("cell", _argmax_cell_literal(cents))
+    probe_cells = [
+        c for _, c in sorted(((-_py_dot(qv, cv), c) for c, cv in cents))[
+            :n_probe
+        ]
+    ]
+    cand = assigned.filter(F.col("cell").isin(probe_cells))
+    return _pq_shortlist_rerank(
+        cand, cb, qv, k=k, m_sub=m_sub, n_codes=n_codes, shortlist=shortlist
+    )
+
+
+def _pq_sql_parts(
+    m_sub: int, n_codes: int, dim: int, query_vec_id: int
+) -> tuple[str, str]:
+    """(anchor-CTE column list, ADC lookup-sum expression) shared by the
+    PQ and IVF-PQ oracles — the SQL mirror of :func:`_pq_shortlist_rerank`
+    (same argmin cost form, same first-occurrence tie-break via
+    list_position, same left-fold dot order)."""
     sub = dim // m_sub
     anchor_cols = []
     for j in range(m_sub):
@@ -1579,15 +1642,93 @@ def pq_topk_sql(
             f"([{partials}])[list_position([{costs}],"
             f" list_aggregate([{costs}], 'min'))]"
         )
-    adc_expr = " + ".join(adc_parts)
+    return ", ".join(anchor_cols), " + ".join(adc_parts)
+
+
+def pq_topk_sql(
+    k: int = TOP_K,
+    m_sub: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+    shortlist: int = PQ_SHORTLIST,
+    dim: int = 64,
+    query_vec_id: int = QUERY_VEC_ID,
+) -> str:
+    """DuckDB oracle for :func:`pq_topk`: re-derives the codebook from the
+    same vec-id-slot rule, encodes, ADC-scores and re-ranks with the same
+    fixed-order double arithmetic (one single-row anchor CTE cross-joined
+    in, so every per-row expression references plain columns)."""
+    anchor_cols, adc_expr = _pq_sql_parts(m_sub, n_codes, dim, query_vec_id)
     return f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings
 ),
-anchors AS (SELECT {", ".join(anchor_cols)}),
+anchors AS (SELECT {anchor_cols}),
 scored AS (
   SELECT vec_id, v, round({adc_expr}, 4) AS adc
   FROM e CROSS JOIN anchors WHERE vec_id <> {query_vec_id}
+),
+short AS (
+  SELECT vec_id, v, adc FROM scored ORDER BY adc DESC, vec_id LIMIT {shortlist}
+),
+rer AS (
+  SELECT vec_id, adc,
+         round(list_dot_product(v,
+           (SELECT v FROM e WHERE vec_id = {query_vec_id})), 4) AS cos
+  FROM short
+)
+SELECT vec_id, rank, cos, adc FROM (
+  SELECT vec_id, cos, adc,
+         row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM rer
+) WHERE rank <= {k}"""
+
+
+def ivfpq_topk_sql(
+    k: int = TOP_K,
+    n_cells: int = IVF_CELLS,
+    n_probe: int = IVF_PROBE,
+    m_sub: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+    shortlist: int = PQ_SHORTLIST,
+    dim: int = 64,
+    query_vec_id: int = QUERY_VEC_ID,
+) -> str:
+    """DuckDB oracle for :func:`ivfpq_topk`: the IVF oracle's
+    assignment/probe CTEs (same stand-in centroids, same desc-dot/asc-cell
+    tie-break) feeding the PQ oracle's anchor/ADC/shortlist/re-rank tail —
+    composed unchanged, so a mismatch localizes to the composition."""
+    anchor_cols, adc_expr = _pq_sql_parts(m_sub, n_codes, dim, query_vec_id)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cell, v AS cv FROM e
+  WHERE vec_id BETWEEN 1 AND {n_cells}
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell ASC) AS crank
+    FROM e CROSS JOIN cents c
+  ) WHERE crank = 1
+),
+probe AS (
+  SELECT cell AS pcell FROM (
+    SELECT c.cell,
+           row_number() OVER (
+             ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell ASC) AS crank
+    FROM e CROSS JOIN cents c WHERE e.vec_id = {query_vec_id}
+  ) WHERE crank <= {n_probe}
+),
+anchors AS (SELECT {anchor_cols}),
+scored AS (
+  SELECT a.vec_id, a.v, round({adc_expr}, 4) AS adc
+  FROM (SELECT s.vec_id, s.v FROM assigned s
+        JOIN probe p ON s.cell = p.pcell) a
+  CROSS JOIN anchors WHERE a.vec_id <> {query_vec_id}
 ),
 short AS (
   SELECT vec_id, v, adc FROM scored ORDER BY adc DESC, vec_id LIMIT {shortlist}

@@ -59,6 +59,7 @@ def test_registry_complete():
          relational.incident_window_counts_sql()),
         (relational.revenue_rollup, relational.revenue_rollup_sql()),
         (simsearch.pq_topk, simsearch.pq_topk_sql()),
+        (simsearch.ivfpq_topk, simsearch.ivfpq_topk_sql()),
     ],
     ids=lambda x: getattr(x, "__name__", "sql"),
 )
@@ -185,6 +186,7 @@ def test_driver_window_is_fully_oracled():
         "rel_range_join",
         "rel_rollup_revenue",
         "ss_pq_topk",
+        "ss_ivfpq_topk",
         "ev_sessionize_native",
     ]
     # tail entries whose equality the judge CAN re-run still carry

@@ -263,3 +263,15 @@ def test_pq_encode_and_adc_are_join_and_shuffle_free(spark):
     assert "Join" not in p, p
     assert "CartesianProduct" not in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_ivfpq_stays_join_and_cartesian_free(spark):
+    """The IVF-PQ composition must keep both parents' plan shape: cell
+    assignment and PQ/ADC scoring are per-row expressions against literal
+    tables, so below the shortlist top-k there is no join and no
+    cartesian product, and the probed-cell restriction is an ordinary
+    pushed filter (at scale: partition pruning over the cell layout)."""
+    p = _plan(simsearch.ivfpq_topk(spark, SF_DIR))
+    assert "Join" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "TakeOrderedAndProject" in p, p

@@ -550,3 +550,25 @@ def test_pq_adc_recall_and_compression(spark):
     pq_top_by_rank = sorted(pq10, key=lambda r: r.rank)[0]
     if pq_top_by_rank.vec_id == bf_top.vec_id:
         assert pq_top_by_rank.cos == bf_top.cos
+
+
+def test_ivfpq_degenerates_to_pq_at_full_probe_and_keeps_recall(spark):
+    """Probing every cell makes IVF-PQ exactly plain PQ (the pruning
+    stage becomes a no-op — rows must be identical), and at the default
+    dials the composed path must keep most of the exact top-10 on the
+    planted fixture (both stages lose recall; the composition's loss is
+    bounded by the fixture's cluster structure)."""
+    from kg.ops import simsearch
+
+    full = [
+        tuple(r)
+        for r in simsearch.ivfpq_topk(
+            spark, SF_DIR, n_probe=simsearch.IVF_CELLS
+        ).collect()
+    ]
+    pq = [tuple(r) for r in simsearch.pq_topk(spark, SF_DIR).collect()]
+    assert full == pq
+
+    exact = {r.vec_id for r in simsearch.bruteforce_topk(spark, SF_DIR).collect()}
+    got = {r.vec_id for r in simsearch.ivfpq_topk(spark, SF_DIR).collect()}
+    assert len(got & exact) / len(exact) >= 0.5, got
