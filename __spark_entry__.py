@@ -80,6 +80,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qs["kg_top_entities_fused"] = Q.q_top_entities_fused
         qs["kg_triples_pandas_extractor"] = Q.q_triples_pandas
         qs.update(ops_tail_queries())
+        # round-5 session-3 graph additions (both fully oracled):
+        # level-synchronous BFS (oracle: DuckDB WITH RECURSIVE) and PMI
+        # collocation scores over the concept co-mention events
+        qs["kg_bfs_levels"] = Q.q_bfs_levels
+        qs["kg_pmi"] = Q.q_pmi
     except ImportError:
         pass
     return qs
@@ -108,6 +113,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": Q.pagerank_sql(),
         "kg_triangles": Q.triangles_sql(),
         "kg_link_prediction": Q.link_prediction_sql(),
+        "kg_bfs_levels": Q.bfs_levels_sql(),
+        "kg_pmi": Q.pmi_sql(),
     }
     try:
         from kg.ops.registry import ops_oracles

@@ -600,6 +600,166 @@ LIMIT {top_n}"""
     )
 
 
+BFS_MAX_LEVELS = 6
+
+
+def q_bfs_levels(
+    spark: SparkSession, sf_dir: str, max_levels: int = BFS_MAX_LEVELS
+) -> DataFrame:
+    """Multi-hop reachability: BFS levels over the association graph from
+    a deterministic seed (the smallest entity id in the graph) —
+    (entity_id, level), level = shortest hop distance, nodes beyond
+    ``max_levels`` (or disconnected) absent. The level-synchronous
+    frontier loop is the standard distributed BFS (Pregel's traversal
+    shape); the reference has no graph traversal at all — its graph IS
+    the HNSW index, walked per-query inside Milvus.
+
+    Scale shape: each iteration is one join of the (shrinking) frontier
+    against the vocabulary-bounded symmetric pair set, plus an anti-join
+    against the visited set — all keyed shuffles on entity ids, no
+    global structure on the driver (the driver holds only the loop
+    counter). The visited set is checkpointed per level so lineage stays
+    flat (the SURVEY §4.3 iterative-plan landmine). At 10^9 nodes the
+    visited set would move to a bucketed table; the loop shape is
+    unchanged. Oracle: DuckDB ``WITH RECURSIVE`` with the same level cap
+    — the composition is checked against a native recursive evaluator.
+    """
+    und, _ = _association_graph(spark, sf_dir)
+    seed = und.agg(F.min("u").alias("entity_id"))
+    return bfs_from(und, seed, max_levels)
+
+
+def bfs_from(und: DataFrame, seed: DataFrame, max_levels: int) -> DataFrame:
+    """Level-synchronous BFS over undirected (u, v) pairs from a
+    (entity_id) seed frame — see :func:`q_bfs_levels` for semantics and
+    the scale argument. Factored out so the loop's min-level/cap/
+    disconnected-node semantics are testable on synthetic graphs (the
+    fixture's association graph is a near-clique where every level
+    collapses to 0/1)."""
+    sym = und.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionByName(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    levels = seed.withColumn("level", F.lit(0).cast("long"))
+    frontier = levels.select("entity_id")
+    for i in range(1, max_levels + 1):
+        nxt = (
+            frontier.join(sym, frontier.entity_id == sym.a)
+            .select(F.col("b").alias("entity_id"))
+            .distinct()
+            .join(levels, "entity_id", "left_anti")
+            .withColumn("level", F.lit(i).cast("long"))
+            .localCheckpoint(eager=False)
+        )
+        levels = levels.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("entity_id")
+    return levels
+
+
+def bfs_levels_sql(max_levels: int = BFS_MAX_LEVELS) -> str:
+    from kg.oracles import edges_sql
+
+    base = edges_sql().replace("SELECT * FROM edges", "") + _ASSOC_CTE
+    base = base.replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+    return (
+        base
+        + f""",
+sym AS (
+  SELECT u AS a, v AS b FROM upairs
+  UNION ALL SELECT v, u FROM upairs
+),
+bfs(entity_id, level) AS (
+  SELECT min(u), CAST(0 AS BIGINT) FROM upairs
+  UNION
+  SELECT s.b, bfs.level + 1
+  FROM bfs JOIN sym s ON s.a = bfs.entity_id
+  WHERE bfs.level < {max_levels}
+)
+SELECT entity_id, min(level) AS level FROM bfs GROUP BY entity_id"""
+    )
+
+
+def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of co-mentioned concept pairs — the
+    collocation/phrase-mining score an LLM-data pipeline uses to find
+    associations stronger than chance (Church & Hanks 1990). Unit of
+    observation: one co-mention event (an edge row between two distinct
+    concepts); p(u,v) = n_uv/T against independent endpoint draws
+    p(u) = cnt_u/2T. Output (node_u, node_v, n_uv, cnt_u, cnt_v, pmi)
+    with pmi = ln(4T·n_uv / (cnt_u·cnt_v)) rounded to 6 — the counts are
+    exact integers, so the one double expression is fixed-order and
+    engine-identical (same contract as the jaccard score).
+
+    Scale shape: ONE shuffle on the 16-byte pair key for n_uv (map-side
+    partials); endpoint counts are vocabulary-bounded and broadcast into
+    the pair frame; T is a driver scalar literal (one count, like
+    q_pagerank's node count). No threshold — PMI itself normalizes for
+    frequency; the full pair set is vocabulary²-bounded, never
+    corpus-bounded."""
+    edges = q_edges(spark, sf_dir).filter(~F.col("pred").startswith("has_"))
+    ev = edges.filter(
+        F.col("subj_id").isNotNull()
+        & F.col("obj_id").isNotNull()
+        & (F.col("subj_id") != F.col("obj_id"))
+    ).select(
+        F.least("subj_id", "obj_id").alias("u"),
+        F.greatest("subj_id", "obj_id").alias("v"),
+    ).localCheckpoint(eager=False)
+    t_total = ev.count()
+    n_uv = ev.groupBy("u", "v").agg(F.count("*").alias("n_uv"))
+    cnt = (
+        ev.select(F.explode(F.array("u", "v")).alias("entity_id"))
+        .groupBy("entity_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cu = F.broadcast(cnt.select(F.col("entity_id").alias("u"), F.col("cnt").alias("cnt_u")))
+    cv = F.broadcast(cnt.select(F.col("entity_id").alias("v"), F.col("cnt").alias("cnt_v")))
+    return (
+        n_uv.join(cu, "u")
+        .join(cv, "v")
+        .select(
+            F.col("u").alias("node_u"),
+            F.col("v").alias("node_v"),
+            "n_uv",
+            "cnt_u",
+            "cnt_v",
+            F.round(
+                F.log(
+                    F.lit(4.0) * F.lit(t_total) * F.col("n_uv")
+                    / (F.col("cnt_u") * F.col("cnt_v"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+def pmi_sql() -> str:
+    from kg.oracles import edges_sql
+
+    return (
+        edges_sql().replace("SELECT * FROM edges", "")
+        + f""",
+ev AS (
+  SELECT least(subj_id, obj_id) AS u, greatest(subj_id, obj_id) AS v
+  FROM edges
+  WHERE {_ASSOC_SQL_FILTER}
+),
+t AS (SELECT count(*) AS t_total FROM ev),
+n_uv AS (SELECT u, v, count(*) AS n_uv FROM ev GROUP BY u, v),
+cnt AS (
+  SELECT entity_id, count(*) AS cnt FROM (
+    SELECT u AS entity_id FROM ev UNION ALL SELECT v FROM ev
+  ) GROUP BY entity_id
+)
+SELECT p.u AS node_u, p.v AS node_v, p.n_uv,
+       c1.cnt AS cnt_u, c2.cnt AS cnt_v,
+       round(ln(4.0 * t.t_total * p.n_uv / (c1.cnt * c2.cnt)), 6) AS pmi
+FROM n_uv p
+JOIN cnt c1 ON c1.entity_id = p.u
+JOIN cnt c2 ON c2.entity_id = p.v, t"""
+    )
+
+
 def q_pred_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         q_triples_surface(spark, sf_dir)

@@ -77,3 +77,47 @@ def test_link_prediction_hub_cap_dial(spark):
     assert set(c) <= set(b)
     assert all(c[k] <= b[k] for k in c)
     assert len(c) < len(b), "a quartered cap should drop hub-centered pairs"
+
+
+def test_bfs_levels_semantics_on_synthetic_graph(spark):
+    """The frontier loop's invariants, on a graph where they actually
+    bind (the fixture's association graph is a near-clique): a path
+    3-1-2-4-5 plus a 6-7 component seeded at 3 must yield min-hop levels
+    through the undirected path, cap at max_levels, and never emit the
+    disconnected component. The 1-2 back-edge makes a cycle with the
+    seed's two-hop path, so min-level (not first-path) semantics are
+    exercised too."""
+    from kg.queries import bfs_from
+
+    und = spark.createDataFrame(
+        [(1, 3), (1, 2), (2, 4), (4, 5), (2, 3), (6, 7)], "u long, v long"
+    )
+    seed = spark.createDataFrame([(3,)], "entity_id long")
+    got = {
+        r.entity_id: r.level for r in bfs_from(und, seed, 6).collect()
+    }
+    assert got == {3: 0, 1: 1, 2: 1, 4: 2, 5: 3}
+
+    capped = {
+        r.entity_id: r.level for r in bfs_from(und, seed, 2).collect()
+    }
+    assert capped == {3: 0, 1: 1, 2: 1, 4: 2}
+
+
+def test_pmi_identities(spark, duck):
+    """PMI's internal consistency on the fixture: the count columns obey
+    their definitional identities (sum(n_uv) = T, each endpoint count =
+    sum of its pairs' n_uv) and the score is symmetric-normalized — a
+    pair co-occurring MORE than chance has pmi > 0 iff
+    4*T*n_uv > cnt_u*cnt_v (exact integers, no float in the gate)."""
+    from kg.queries import q_pmi
+
+    rows = q_pmi(spark, SF_DIR).collect()
+    t_total = sum(r.n_uv for r in rows)
+    by_node: dict = {}
+    for r in rows:
+        by_node[r.node_u] = by_node.get(r.node_u, 0) + r.n_uv
+        by_node[r.node_v] = by_node.get(r.node_v, 0) + r.n_uv
+    for r in rows:
+        assert by_node[r.node_u] == r.cnt_u and by_node[r.node_v] == r.cnt_v
+        assert (r.pmi > 0) == (4 * t_total * r.n_uv > r.cnt_u * r.cnt_v)

@@ -188,6 +188,8 @@ def test_driver_window_is_fully_oracled():
         "ss_pq_topk",
         "ss_ivfpq_topk",
         "ev_sessionize_native",
+        "kg_bfs_levels",
+        "kg_pmi",
     ]
     # tail entries whose equality the judge CAN re-run still carry
     # oracles — every tail entry except the inherently approximate

@@ -275,3 +275,23 @@ def test_ivfpq_stays_join_and_cartesian_free(spark):
     assert "Join" not in p, p
     assert "CartesianProduct" not in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_bfs_and_pmi_consume_checkpointed_bases(spark):
+    """Same landmine-gate as the other graph ops: once the checkpointed
+    base materializes, neither the BFS level union nor PMI's pair/count
+    joins may re-derive the corpus-sized extraction DAG — zero FileScans
+    in either plan (PMI's endpoint counts must also enter via broadcast,
+    vocabulary-bounded)."""
+    from kg.queries import q_bfs_levels, q_pmi
+
+    bfs = q_bfs_levels(spark, SF_DIR)
+    bfs.count()
+    p = _plan(bfs)
+    assert p.count("FileScan") == 0, p
+
+    pmi = q_pmi(spark, SF_DIR)
+    pmi.count()
+    p = _plan(pmi)
+    assert p.count("FileScan") == 0, p
+    assert "BroadcastHashJoin" in p, p
