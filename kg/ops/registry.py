@@ -140,6 +140,10 @@ def ops_tail_queries() -> dict[str, QueryFn]:
         # re-rank — the FAISS-style 10^12-vector serving path; oracle
         # composes the two parent oracles' CTEs unchanged
         "ss_ivfpq_topk": simsearch.ivfpq_topk,
+        # PQ with a TRAINED codebook (per-subspace exact-integer Lloyd,
+        # the upgrade _pq_codebook's docstring promises); oracle unrolls
+        # the training in DuckDB like the trained-IVF oracle
+        "ss_pq_trained_topk": simsearch.pq_trained_topk,
         # batch twin of the native session_window streaming sessionizer
         # (round-5 session 3); oracle = the lag-window sessionize oracle
         # projected to the shared rollup columns (boundary fine print
@@ -215,5 +219,6 @@ def ops_oracles() -> dict[str, str]:
         "rel_rollup_revenue": relational.revenue_rollup_sql(),
         "ss_pq_topk": simsearch.pq_topk_sql(),
         "ss_ivfpq_topk": simsearch.ivfpq_topk_sql(),
+        "ss_pq_trained_topk": simsearch.pq_trained_topk_sql(),
         "ev_sessionize_native": sessionize_native_sql(),
     }

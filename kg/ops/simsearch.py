@@ -1610,13 +1610,24 @@ def ivfpq_topk(
 
 
 def _pq_sql_parts(
-    m_sub: int, n_codes: int, dim: int, query_vec_id: int
+    m_sub: int,
+    n_codes: int,
+    dim: int,
+    query_vec_id: int,
+    code_anchor=None,
 ) -> tuple[str, str]:
     """(anchor-CTE column list, ADC lookup-sum expression) shared by the
-    PQ and IVF-PQ oracles — the SQL mirror of :func:`_pq_shortlist_rerank`
-    (same argmin cost form, same first-occurrence tie-break via
-    list_position, same left-fold dot order)."""
+    PQ, IVF-PQ and trained-PQ oracles — the SQL mirror of
+    :func:`_pq_shortlist_rerank` (same argmin cost form, same
+    first-occurrence tie-break via list_position, same left-fold dot
+    order). ``code_anchor(j, c)`` supplies the scalar subquery for
+    codebook entry (subspace j, code c); default is the vec-id-slot
+    stand-in slice."""
     sub = dim // m_sub
+    if code_anchor is None:
+        def code_anchor(j, c):
+            lo, hi = j * sub + 1, (j + 1) * sub
+            return f"(SELECT v[{lo}:{hi}] FROM e WHERE vec_id = {c})"
     anchor_cols = []
     for j in range(m_sub):
         lo, hi = j * sub + 1, (j + 1) * sub
@@ -1624,9 +1635,7 @@ def _pq_sql_parts(
             f"(SELECT v[{lo}:{hi}] FROM e WHERE vec_id = {query_vec_id}) AS q_{j}"
         )
         for c in range(n_codes):
-            anchor_cols.append(
-                f"(SELECT v[{lo}:{hi}] FROM e WHERE vec_id = {c}) AS a_{j}_{c}"
-            )
+            anchor_cols.append(f"{code_anchor(j, c)} AS a_{j}_{c}")
     adc_parts = []
     for j in range(m_sub):
         lo, hi = j * sub + 1, (j + 1) * sub
@@ -1729,6 +1738,214 @@ scored AS (
   FROM (SELECT s.vec_id, s.v FROM assigned s
         JOIN probe p ON s.cell = p.pcell) a
   CROSS JOIN anchors WHERE a.vec_id <> {query_vec_id}
+),
+short AS (
+  SELECT vec_id, v, adc FROM scored ORDER BY adc DESC, vec_id LIMIT {shortlist}
+),
+rer AS (
+  SELECT vec_id, adc,
+         round(list_dot_product(v,
+           (SELECT v FROM e WHERE vec_id = {query_vec_id})), 4) AS cos
+  FROM short
+)
+SELECT vec_id, rank, cos, adc FROM (
+  SELECT vec_id, cos, adc,
+         row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM rer
+) WHERE rank <= {k}"""
+
+
+PQ_TRAIN_ITERS = 2
+
+
+def train_pq_codebook(
+    spark: SparkSession,
+    sf_dir: str,
+    m_sub: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+    n_iters: int = PQ_TRAIN_ITERS,
+    sample_per_code: int = 256,
+) -> list[list[float]]:
+    """Per-subspace Lloyd k-means for the PQ codebook — the trained
+    upgrade :func:`_pq_codebook`'s docstring promises, exactly as
+    :func:`train_ivf_centroids` upgraded :func:`ivf_topk` (reference
+    analog: Milvus PQ index training). Plain (non-spherical) k-means:
+    assignment minimizes |c|^2 - 2<v_j,c> (the PQ encoding cost), means
+    are NOT renormalized — subvectors are not unit vectors.
+
+    Returns the same shape as the stand-in (n_codes full-dim rows; row
+    c's subspace-j slice is trained code c of subspace j), so
+    :func:`_pq_shortlist_rerank` consumes it unchanged.
+
+    Scale shape: trains on the same deterministic hash-sample rule as the
+    IVF trainer; per iteration ONE sample scan — each row encodes all
+    m_sub subspaces as literal argmins, explodes to m_sub (j, code, vj)
+    rows, and a groupBy (j, code) accumulates exact-integer component
+    sums (map-side partials; the shuffle carries m_sub*n_codes*(dim/m_sub)
+    decimals, never the sample). The per-iteration driver collect is
+    m_sub*n_codes rows — KBs at ANY corpus size (unlike the IVF means,
+    which scale with cells, the PQ codebook is a fixed 2^codes table).
+
+    Bit-determinism: identical contract to the IVF trainer —
+    floor(v*2^24) decimal sums are order-independent, so the codebook is
+    bit-identical across runs, partitionings, and engines;
+    ``pq_trained_topk_sql`` unrolls the same iterations in DuckDB and
+    reproduces it exactly. Empty codes keep their previous entry on both
+    paths."""
+    _, e = _train_sample(spark, sf_dir, n_codes, sample_per_code)
+    vecs = _small_vecs(spark, sf_dir, need_max=n_codes - 1)
+    cb = [list(vecs[c]) for c in range(n_codes)]
+    dim = len(cb[0])
+    assert dim % m_sub == 0, (dim, m_sub)
+    sub = dim // m_sub
+
+    for _ in range(n_iters):
+        structs = []
+        for j in range(m_sub):
+            lo = j * sub
+            vj = F.slice(F.col("v"), lo + 1, sub)
+            costs = [
+                F.lit(_py_dot(cb[c][lo : lo + sub], cb[c][lo : lo + sub]))
+                - 2.0 * _dot_lit(vj, cb[c][lo : lo + sub])
+                for c in range(n_codes)
+            ]
+            scores = F.array(*costs)
+            structs.append(
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.array_position(scores, F.array_min(scores)).alias(
+                        "code"
+                    ),
+                    vj.alias("vj"),
+                )
+            )
+        ex = e.select(F.explode(F.array(*structs)).alias("s")).select(
+            "s.j", "s.code", "s.vj"
+        )
+        sums = ex.groupBy("j", "code").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(
+                    F.floor(F.col("vj")[i] * MEAN_SCALE).cast("decimal(18,0)")
+                ).alias(f"s{i}")
+                for i in range(sub)
+            ],
+        ).collect()
+        # unlike the spherical IVF trainer (whose renorm cancels the 2^24
+        # quantization factor), plain-L2 means must descale explicitly;
+        # division order (sum / n / scale) is pinned to match the oracle
+        upd = {
+            (r["j"], r["code"]): [
+                float(r[f"s{i}"]) / r["n"] / MEAN_SCALE for i in range(sub)
+            ]
+            for r in sums
+        }
+        for j in range(m_sub):
+            for c in range(n_codes):
+                m = upd.get((j, c + 1))  # codes are 1-based (array_position)
+                if m is not None:
+                    cb[c][j * sub : (j + 1) * sub] = m
+    return cb
+
+
+def pq_trained_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    m_sub: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+    shortlist: int = PQ_SHORTLIST,
+    n_iters: int = PQ_TRAIN_ITERS,
+    query_vec_id: int = QUERY_VEC_ID,
+    sample_per_code: int = 1 << 30,
+) -> DataFrame:
+    """:func:`pq_topk` with a TRAINED codebook. ``sample_per_code`` is
+    pinned high for the contract so the trainer's hash-sample keeps the
+    whole corpus at any contract SF (the oracle trains on the full
+    table); the sampled default of :func:`train_pq_codebook` is the
+    production path."""
+    cb = train_pq_codebook(
+        spark, sf_dir, m_sub, n_codes, n_iters, sample_per_code
+    )
+    qv, base = _query_base(spark, sf_dir, query_vec_id, None)
+    return _pq_shortlist_rerank(
+        base, cb, qv, k=k, m_sub=m_sub, n_codes=n_codes, shortlist=shortlist
+    )
+
+
+def pq_trained_topk_sql(
+    k: int = TOP_K,
+    m_sub: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+    shortlist: int = PQ_SHORTLIST,
+    dim: int = 64,
+    n_iters: int = PQ_TRAIN_ITERS,
+    query_vec_id: int = QUERY_VEC_ID,
+) -> str:
+    """DuckDB oracle for :func:`pq_trained_topk`: the per-subspace Lloyd
+    iterations UNROLLED as a CTE chain (same assignment cost and
+    lowest-code tie-break, same floor(v*2^24) exact-decimal component
+    sums, same one-double-division means, empty codes carried), feeding
+    the shared PQ anchor/ADC/shortlist/re-rank tail with the trained
+    codebook table as the anchor source. Valid whenever the trainer's
+    sample keeps the whole corpus (the contract pins sample_per_code
+    high, as with the trained-IVF oracle)."""
+    sub = dim // m_sub
+    mlist = ", ".join(
+        f"sum(floor(vj[{i + 1}] * {MEAN_SCALE!r})::DECIMAL(18,0))::DOUBLE"
+        f" / count(*) / {MEAN_SCALE!r}"
+        for i in range(sub)
+    )
+    its = []
+    for t in range(n_iters):
+        its.append(f"""
+assign{t} AS MATERIALIZED (
+  SELECT vec_id, j, vj, code FROM (
+    SELECT s.vec_id, s.j, s.vj, c.code,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.j
+             ORDER BY list_dot_product(c.cv, c.cv)
+                      - 2.0 * list_dot_product(s.vj, c.cv) ASC,
+                      c.code ASC) AS rk
+    FROM sliced s JOIN cb{t} c ON c.j = s.j
+  ) WHERE rk = 1
+),
+mean{t} AS (
+  SELECT j, code, [{mlist}] AS cv
+  FROM assign{t} GROUP BY j, code
+),
+cb{t + 1} AS MATERIALIZED (
+  SELECT p.j, p.code, coalesce(m.cv, p.cv) AS cv
+  FROM cb{t} p LEFT JOIN mean{t} m ON m.j = p.j AND m.code = p.code
+)""")
+    anchor_cols, adc_expr = _pq_sql_parts(
+        m_sub,
+        n_codes,
+        dim,
+        query_vec_id,
+        code_anchor=lambda j, c: (
+            f"(SELECT cv FROM cb{n_iters} WHERE j = {j} AND code = {c + 1})"
+        ),
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings
+),
+js AS (SELECT range AS j FROM range({m_sub})),
+cb0 AS (
+  SELECT js.j, e.vec_id + 1 AS code,
+         list_slice(e.v, js.j * {sub} + 1, (js.j + 1) * {sub}) AS cv
+  FROM e CROSS JOIN js WHERE e.vec_id < {n_codes}
+),
+sliced AS MATERIALIZED (
+  SELECT e.vec_id, js.j,
+         list_slice(e.v, js.j * {sub} + 1, (js.j + 1) * {sub}) AS vj
+  FROM e CROSS JOIN js
+),{",".join(its)},
+anchors AS (SELECT {anchor_cols}),
+scored AS (
+  SELECT vec_id, v, round({adc_expr}, 4) AS adc
+  FROM e CROSS JOIN anchors WHERE vec_id <> {query_vec_id}
 ),
 short AS (
   SELECT vec_id, v, adc FROM scored ORDER BY adc DESC, vec_id LIMIT {shortlist}

@@ -187,6 +187,7 @@ def test_driver_window_is_fully_oracled():
         "rel_rollup_revenue",
         "ss_pq_topk",
         "ss_ivfpq_topk",
+        "ss_pq_trained_topk",
         "ev_sessionize_native",
         "kg_bfs_levels",
         "kg_pmi",

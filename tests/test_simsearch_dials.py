@@ -572,3 +572,54 @@ def test_ivfpq_degenerates_to_pq_at_full_probe_and_keeps_recall(spark):
     exact = {r.vec_id for r in simsearch.bruteforce_topk(spark, SF_DIR).collect()}
     got = {r.vec_id for r in simsearch.ivfpq_topk(spark, SF_DIR).collect()}
     assert len(got & exact) / len(exact) >= 0.5, got
+
+
+def test_trained_pq_codebook_is_deterministic_and_lowers_objective(spark):
+    """Two independent trainings must produce a bit-identical codebook
+    (same exact-integer-sums argument as the IVF trainer); the trained
+    codebook must differ from the vec-id-slot stand-in (training did
+    something); and the k-means OBJECTIVE — total PQ reconstruction cost,
+    what Lloyd provably never increases from its init, which IS the
+    stand-in — must be strictly lower after training. (Top-10 IP recall
+    is NOT asserted superior: on the planted fixture the stand-in codes
+    are literal corpus vectors, an unusually strong init; recall keeps a
+    floor instead.)"""
+    from functools import reduce
+    from operator import add
+
+    from pyspark.sql import functions as F
+
+    from kg.ops import simsearch
+
+    cb1 = simsearch.train_pq_codebook(spark, SF_DIR, sample_per_code=1 << 30)
+    cb2 = simsearch.train_pq_codebook(spark, SF_DIR, sample_per_code=1 << 30)
+    assert cb1 == cb2
+    m_sub, n_codes = simsearch.PQ_SUBSPACES, simsearch.PQ_CODES
+    stand_in = simsearch._pq_codebook(spark, SF_DIR, m_sub, n_codes)
+    assert cb1 != stand_in
+
+    def objective(cb):
+        # sum over the corpus of the chosen-code cost |c|^2 - 2<v_j, c>
+        # (the true squared error minus the codebook-independent |v_j|^2)
+        dim = len(cb[0])
+        sub = dim // m_sub
+        cols = []
+        for j in range(m_sub):
+            lo = j * sub
+            vj = F.slice(F.col("v"), lo + 1, sub)
+            costs = [
+                F.lit(simsearch._py_dot(cb[c][lo:lo + sub], cb[c][lo:lo + sub]))
+                - 2.0 * simsearch._dot_lit(vj, cb[c][lo:lo + sub])
+                for c in range(n_codes)
+            ]
+            cols.append(F.array_min(F.array(*costs)))
+        e = simsearch._emb(spark, SF_DIR)
+        return e.agg(F.sum(reduce(add, cols))).collect()[0][0]
+
+    assert objective(cb1) < objective(stand_in)
+
+    exact = {r.vec_id for r in simsearch.bruteforce_topk(spark, SF_DIR).collect()}
+    trained = {
+        r.vec_id for r in simsearch.pq_trained_topk(spark, SF_DIR).collect()
+    }
+    assert len(trained & exact) / len(exact) >= 0.4
