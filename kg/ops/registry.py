@@ -144,6 +144,9 @@ def ops_tail_queries() -> dict[str, QueryFn]:
         # the upgrade _pq_codebook's docstring promises); oracle unrolls
         # the training in DuckDB like the trained-IVF oracle
         "ss_pq_trained_topk": simsearch.pq_trained_topk,
+        # deterministic per-class cap by hash order (the balanced-set
+        # primitive; same md5 rationale as rel_sampled_orders)
+        "rel_stratified_sample": relational.stratified_sample,
         # batch twin of the native session_window streaming sessionizer
         # (round-5 session 3); oracle = the lag-window sessionize oracle
         # projected to the shared rollup columns (boundary fine print
@@ -220,5 +223,6 @@ def ops_oracles() -> dict[str, str]:
         "ss_pq_topk": simsearch.pq_topk_sql(),
         "ss_ivfpq_topk": simsearch.ivfpq_topk_sql(),
         "ss_pq_trained_topk": simsearch.pq_trained_topk_sql(),
+        "rel_stratified_sample": relational.stratified_sample_sql(),
         "ev_sessionize_native": sessionize_native_sql(),
     }

@@ -603,3 +603,44 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)"""
+
+
+STRATA_CAP = 20
+
+
+def stratified_sample(
+    spark: SparkSession, sf_dir: str, cap: int = STRATA_CAP
+) -> DataFrame:
+    """Deterministic stratified sample: at most ``cap`` events per
+    event_type, chosen by md5-hash order — the per-class cap a
+    training-data pipeline applies before building a balanced set (the
+    hash order makes the picked rows a stable pseudo-random subset,
+    reproducible in any engine; same rationale as :func:`sampled_orders`,
+    SURVEY §7.4.3). Output (event_id, event_type, user_id, value,
+    strata_rank).
+
+    Scale shape: ONE shuffle on the strata key into a partitioned
+    row_number window — per-partition top-cap heaps, no global sort. A
+    hot class is bounded by the window's per-key sequential scan; classes
+    are independent, so skew splits with the key. Tie-break on event_id
+    after the hash makes the pick total-ordered and engine-identical."""
+    ev = _t(spark, sf_dir, "events")
+    h = id64(F.col("event_id").cast("string"))
+    w = Window.partitionBy("event_type").orderBy(h.asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("strata_rank", F.row_number().over(w))
+        .filter(F.col("strata_rank") <= cap)
+        .select("event_id", "event_type", "user_id", "value", "strata_rank")
+    )
+
+
+def stratified_sample_sql(cap: int = STRATA_CAP) -> str:
+    return f"""
+SELECT event_id, event_type, user_id, value, strata_rank FROM (
+  SELECT event_id, event_type, user_id, value,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY ('0x' || substr(md5(event_id::varchar), 1, 15))::bigint,
+                    event_id) AS strata_rank
+  FROM events
+) WHERE strata_rank <= {cap}"""

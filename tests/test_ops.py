@@ -188,6 +188,7 @@ def test_driver_window_is_fully_oracled():
         "ss_pq_topk",
         "ss_ivfpq_topk",
         "ss_pq_trained_topk",
+        "rel_stratified_sample",
         "ev_sessionize_native",
         "kg_bfs_levels",
         "kg_pmi",
