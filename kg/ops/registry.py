@@ -147,6 +147,10 @@ def ops_tail_queries() -> dict[str, QueryFn]:
         # deterministic per-class cap by hash order (the balanced-set
         # primitive; same md5 rationale as rel_sampled_orders)
         "rel_stratified_sample": relational.stratified_sample,
+        # Misra-Gries heavy hitters with exact verification — the sketch
+        # proposes, one exact aggregate disposes, so the approximate
+        # algorithm still carries a value oracle (the plain exact agg)
+        "ts_frequent_terms": textstats.frequent_terms,
         # batch twin of the native session_window streaming sessionizer
         # (round-5 session 3); oracle = the lag-window sessionize oracle
         # projected to the shared rollup columns (boundary fine print
@@ -224,5 +228,6 @@ def ops_oracles() -> dict[str, str]:
         "ss_ivfpq_topk": simsearch.ivfpq_topk_sql(),
         "ss_pq_trained_topk": simsearch.pq_trained_topk_sql(),
         "rel_stratified_sample": relational.stratified_sample_sql(),
+        "ts_frequent_terms": textstats.frequent_terms_sql(),
         "ev_sessionize_native": sessionize_native_sql(),
     }

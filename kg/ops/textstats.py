@@ -353,3 +353,83 @@ SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(
            list_filter(string_split(text,' '), x -> x <> ''))), ' ')) AS fp
 FROM documents"""
+
+
+MG_PHI_DEN = 100  # heavy-hitter threshold: exact count >= ceil(N/100)
+MG_CAPACITY = 256  # per-partition Misra-Gries counters (must be > phi_den)
+
+
+def _mg_sweep(capacity: int):
+    """Per-partition Misra-Gries summary over a (term) stream: classic
+    decrement-all-on-overflow, carried ACROSS Arrow batches within the
+    partition (mapInPandas yields once per partition). Emits the
+    surviving counter keys — a guaranteed superset of every term with
+    partition count > n_p/(capacity+1)."""
+    import pandas as _pd
+
+    def run(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for t in pdf["term"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < capacity:
+                    counters[t] = 1
+                else:
+                    for k in list(counters):
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            del counters[k]
+        yield _pd.DataFrame({"term": _pd.Series(list(counters), dtype="object")})
+
+    return run
+
+
+def frequent_terms(
+    spark: SparkSession,
+    sf_dir: str,
+    phi_den: int = MG_PHI_DEN,
+    capacity: int = MG_CAPACITY,
+) -> DataFrame:
+    """Corpus-frequent terms — (term, n) for every whitespace token with
+    exact count >= ceil(N/phi_den) — via the sketch-then-verify pattern
+    this repo uses wherever an approximate algorithm must stay
+    oracle-exact (LSH dedup, PQ shortlist): a per-partition Misra-Gries
+    sweep proposes candidates, then ONE exact aggregate over the
+    candidate-restricted stream verifies. Output is provably identical
+    to the exact computation: summing the per-partition MG guarantee,
+    a term missed by every partition summary has total count
+    <= N/(capacity+1) < ceil(N/phi_den), so candidates cover every true
+    heavy hitter, and the exact HAVING removes all false positives —
+    the sketch affects COST only, never the answer (the DuckDB oracle is
+    the plain exact aggregate).
+
+    Scale shape: the full token stream is touched twice, both times
+    shuffle-free until the end — the MG pass is embarrassingly parallel
+    with a capacity-bounded summary per partition, and the verify pass
+    broadcast-semi-joins the candidate set (<= capacity x partitions
+    terms) before a groupBy whose map-side partials only carry candidate
+    terms. The all-terms groupBy a naive exact count would shuffle
+    (vocabulary-sized — at 100 TB, trillions of distinct n-grams) never
+    happens."""
+    assert capacity > phi_den, (capacity, phi_den)
+    toks = _docs(spark, sf_dir).select(F.explode(_toks()).alias("term"))
+    n_total = toks.count()
+    threshold = (n_total + phi_den - 1) // phi_den
+    cand = toks.mapInPandas(_mg_sweep(capacity), "term string").distinct()
+    return (
+        toks.join(F.broadcast(cand), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= threshold)
+    )
+
+
+def frequent_terms_sql(phi_den: int = MG_PHI_DEN) -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+)
+SELECT term, n FROM (SELECT term, count(*) AS n FROM toks GROUP BY term)
+WHERE n >= (SELECT (count(*) + {phi_den - 1}) // {phi_den} FROM toks)"""

@@ -189,6 +189,7 @@ def test_driver_window_is_fully_oracled():
         "ss_ivfpq_topk",
         "ss_pq_trained_topk",
         "rel_stratified_sample",
+        "ts_frequent_terms",
         "ev_sessionize_native",
         "kg_bfs_levels",
         "kg_pmi",

@@ -44,3 +44,41 @@ def test_hll_partial_merge_equals_single_pass(spark):
         .count()
     )
     assert merged == 7 and whole > 0
+
+
+def test_misra_gries_kernel_guarantee():
+    """The MG summary must contain every item with count > n/(k+1) —
+    driven on an adversarial stream (heavy item interleaved with a long
+    tail of singletons, then a burst) at tiny capacity."""
+    import pandas as pd
+
+    from kg.ops.textstats import _mg_sweep
+
+    stream = []
+    for i in range(100):
+        stream += ["hot", f"rare{i}", f"rare{i}x"]
+    stream += ["warm"] * 80
+    run = _mg_sweep(capacity=4)
+    (out,) = run(iter([pd.DataFrame({"term": stream})]))
+    kept = set(out["term"])
+    n, k = len(stream), 4
+    from collections import Counter
+
+    c = Counter(stream)
+    for item, cnt in c.items():
+        if cnt > n / (k + 1):
+            assert item in kept, (item, cnt)
+
+
+def test_frequent_terms_sketch_never_changes_the_answer(spark, duck):
+    """Sketch-then-verify exactness: the MG-candidate path must equal the
+    plain exact aggregate (the oracle) even at a capacity small enough
+    that the sketch is under real pressure, and be invariant to the
+    capacity dial."""
+    from kg.ops.textstats import frequent_terms, frequent_terms_sql
+    from tests.conftest import SF_DIR, assert_df_equal
+
+    big = frequent_terms(spark, SF_DIR)
+    assert_df_equal(big, duck.sql(frequent_terms_sql()))
+    small = frequent_terms(spark, SF_DIR, capacity=101)
+    assert_df_equal(small, duck.sql(frequent_terms_sql()))
