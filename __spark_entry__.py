@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # collocation scores over the concept co-mention events
         qs["kg_bfs_levels"] = Q.q_bfs_levels
         qs["kg_pmi"] = Q.q_pmi
+        qs["kg_kcore"] = Q.q_kcore
     except ImportError:
         pass
     return qs
@@ -115,6 +116,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_link_prediction": Q.link_prediction_sql(),
         "kg_bfs_levels": Q.bfs_levels_sql(),
         "kg_pmi": Q.pmi_sql(),
+        "kg_kcore": Q.kcore_sql(),
     }
     try:
         from kg.ops.registry import ops_oracles

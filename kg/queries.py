@@ -678,6 +678,88 @@ SELECT entity_id, min(level) AS level FROM bfs GROUP BY entity_id"""
     )
 
 
+KCORE_ITERS = 6
+KCORE_K = 5  # peels ~20% of fixture nodes, and only via a real cascade
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the association graph — the densest-cohesion subgraph
+    filter (Seidman 1983) a curation pipeline uses to keep only concepts
+    embedded in mutually-dense association structure. Output
+    (entity_id, core_degree, k): survivors of KCORE_ITERS peeling rounds
+    with their within-core degree. On the fixture the k=5 peel removes a
+    node whose degree only falls below k AFTER the first round — the
+    cascade, not a one-shot degree filter, decides membership.
+
+    Peeling (drop nodes with degree < k, recompute, repeat) is unrolled a
+    FIXED number of rounds so DuckDB replays it exactly; convergence on
+    the fixture is pytest-asserted (one more round changes nothing), and
+    peeling-cascade semantics are pinned on a synthetic triangle+tail
+    graph where each round removes exactly one tail node.
+
+    Scale shape: everything after the checkpointed pair set is
+    vocabulary-bounded — per round one explode+groupBy for degrees and
+    two semi-join-shaped inner joins against the (shrinking) keep set;
+    the edge set is checkpointed per round so plan depth stays flat."""
+    und, _ = _association_graph(spark, sf_dir)
+    return kcore_membership(und, KCORE_K, KCORE_ITERS)
+
+
+def kcore_membership(und: DataFrame, k: int, iters: int) -> DataFrame:
+    """Unrolled k-core peeling over undirected (u, v) pairs — see
+    :func:`q_kcore`. Factored out for the synthetic-graph semantics
+    tests."""
+    edges = und
+    for _ in range(iters):
+        deg = (
+            edges.select(F.explode(F.array("u", "v")).alias("e"))
+            .groupBy("e")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("e")
+        edges = (
+            edges.join(keep.withColumnRenamed("e", "u"), "u")
+            .join(keep.withColumnRenamed("e", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        edges.select(F.explode(F.array("u", "v")).alias("entity_id"))
+        .groupBy("entity_id")
+        .agg(F.count("*").alias("core_degree"))
+        .withColumn("k", F.lit(k).cast("long"))
+    )
+
+
+def kcore_sql(iters: int = KCORE_ITERS) -> str:
+    from kg.oracles import edges_sql
+
+    rounds = []
+    for t in range(iters):
+        rounds.append(f""",
+d{t} AS MATERIALIZED (
+  SELECT e, count(*) AS d FROM (
+    SELECT u AS e FROM e{t} UNION ALL SELECT v FROM e{t}
+  ) GROUP BY e
+),
+e{t + 1} AS MATERIALIZED (
+  SELECT e{t}.u, e{t}.v
+  FROM e{t} JOIN d{t} a ON a.e = e{t}.u JOIN d{t} b ON b.e = e{t}.v, kval
+  WHERE a.d >= kval.k AND b.d >= kval.k
+)""")
+    return (
+        edges_sql().replace("SELECT * FROM edges", "")
+        + _ASSOC_CTE
+        + f""",
+e0 AS MATERIALIZED (SELECT u, v FROM upairs),
+kval AS MATERIALIZED (SELECT CAST({KCORE_K} AS BIGINT) AS k){"".join(rounds)}
+SELECT entity_id, count(*) AS core_degree, (SELECT k FROM kval) AS k
+FROM (
+  SELECT u AS entity_id FROM e{iters} UNION ALL SELECT v FROM e{iters}
+) GROUP BY entity_id"""
+    )
+
+
 def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pointwise mutual information of co-mentioned concept pairs — the
     collocation/phrase-mining score an LLM-data pipeline uses to find

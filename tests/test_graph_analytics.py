@@ -121,3 +121,48 @@ def test_pmi_identities(spark, duck):
     for r in rows:
         assert by_node[r.node_u] == r.cnt_u and by_node[r.node_v] == r.cnt_v
         assert (r.pmi > 0) == (4 * t_total * r.n_uv > r.cnt_u * r.cnt_v)
+
+
+def test_kcore_peeling_cascade_and_fixpoint(spark):
+    """Peeling semantics where they bind: triangle {1,2,3} with a tail
+    3-4-5 at k=2 — the first round removes only node 5 (degree 1), the
+    SECOND round removes node 4 (its degree fell to 1 after the first),
+    so a single-pass degree filter would get this wrong; the triangle
+    survives with within-core degree 2. On the fixture, the contract's
+    KCORE_ITERS rounds must have converged (one more round changes
+    nothing)."""
+    from kg.queries import KCORE_ITERS, kcore_membership, q_kcore
+
+    und = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)], "u long, v long"
+    )
+    got = {
+        (r.entity_id, r.core_degree)
+        for r in kcore_membership(und, 2, 4).collect()
+    }
+    assert got == {(1, 2), (2, 2), (3, 2)}
+    # one round is NOT enough: node 4 still present after round 1
+    after1 = {
+        r.entity_id for r in kcore_membership(und, 2, 1).collect()
+    }
+    assert 4 in after1 and 5 not in after1
+
+    a = sorted(map(tuple, q_kcore(spark, SF_DIR).collect()))
+    from kg.queries import KCORE_K, _association_graph
+
+    und_fx, _ = _association_graph(spark, SF_DIR)
+    b = sorted(
+        map(
+            tuple,
+            kcore_membership(und_fx, KCORE_K, KCORE_ITERS + 1).collect(),
+        )
+    )
+    assert a == b
+    # the peel is nontrivial AND cascade-decided on the fixture: some
+    # node survives the first round but not the fixpoint
+    survivors = {t[0] for t in a}
+    after1 = {
+        r.entity_id
+        for r in kcore_membership(und_fx, KCORE_K, 1).collect()
+    }
+    assert survivors and survivors < after1

@@ -193,6 +193,7 @@ def test_driver_window_is_fully_oracled():
         "ev_sessionize_native",
         "kg_bfs_levels",
         "kg_pmi",
+        "kg_kcore",
     ]
     # tail entries whose equality the judge CAN re-run still carry
     # oracles — every tail entry except the inherently approximate
