@@ -20,6 +20,8 @@ from kg.ops import (
 from kg.streaming import (
     sessionize_native_sql,
     sessionize_window_batch,
+    sliding_event_counts_batch,
+    sliding_event_counts_sql,
     windowed_event_counts_batch,
     windowed_event_counts_sql,
 )
@@ -156,6 +158,9 @@ def ops_tail_queries() -> dict[str, QueryFn]:
         # projected to the shared rollup columns (boundary fine print
         # asserted moot in tests/test_streaming.py)
         "ev_sessionize_native": sessionize_window_batch,
+        # sliding (overlapping) event-time windows — the F.window slide
+        # form the tumbling twin doesn't cover; integer-micros oracle
+        "ev_sliding_counts": sliding_event_counts_batch,
     }
 
 
@@ -230,4 +235,5 @@ def ops_oracles() -> dict[str, str]:
         "rel_stratified_sample": relational.stratified_sample_sql(),
         "ts_frequent_terms": textstats.frequent_terms_sql(),
         "ev_sessionize_native": sessionize_native_sql(),
+        "ev_sliding_counts": sliding_event_counts_sql(),
     }

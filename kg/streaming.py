@@ -396,3 +396,64 @@ def sessionize_native_sql() -> str:
 SELECT user_id, n_events, start_ts, end_ts,
        round(total_value, 4) AS total_value
 FROM ({sessionize_sql()})"""
+
+
+def sliding_event_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (width 10 min, slide 5 min — every
+    event lands in exactly TWO overlapping windows), the windowing shape
+    the tumbling twin (:func:`windowed_event_counts_batch`) does not
+    cover: (win_start, win_end, event_type, n, total_value). Native
+    ``F.window(ts, width, slide)`` — in a stream the same aggregate runs
+    under a watermark exactly like the tumbling form (Spark expands each
+    row to its covering windows before the keyed aggregate; state is one
+    row per open (window, type) pair).
+
+    Scale shape: one keyed exchange after a 2x row expansion — identical
+    plan family to the tumbling agg. The oracle re-derives window
+    membership with exact int64 epoch-microsecond floor division, so
+    engine agreement is integer-exact."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_event_counts_sql() -> str:
+    # width 600e6 us, slide 300e6 us; Spark aligns window starts to the
+    # epoch, so starts covering ts are (floor(us/slide)-1)*slide and
+    # floor(us/slide)*slide, filtered to us < start + width
+    width, slide = 600_000_000, 300_000_000
+    return f"""
+WITH e AS (
+  SELECT epoch_us(ts) AS us, event_type, value FROM events
+),
+cand AS (
+  SELECT us, event_type, value,
+         unnest([((us // {slide}) - 1) * {slide},
+                 (us // {slide}) * {slide}]) AS ws
+  FROM e
+)
+SELECT make_timestamp(ws) AS win_start,
+       make_timestamp(ws + {width}) AS win_end,
+       event_type,
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS decimal(18,4))) AS double), 4)
+         AS total_value
+FROM cand WHERE us >= ws AND us < ws + {width}
+GROUP BY 1, 2, 3"""

@@ -6,7 +6,12 @@ from pyspark.sql import functions as F
 
 from kg.ops import dedup, media, relational, simsearch, textstats
 from kg.ops.registry import ops_oracles, ops_queries
-from kg.streaming import windowed_event_counts_batch, windowed_event_counts_sql
+from kg.streaming import (
+    sliding_event_counts_batch,
+    sliding_event_counts_sql,
+    windowed_event_counts_batch,
+    windowed_event_counts_sql,
+)
 from tests.conftest import SF_DIR, assert_df_equal
 
 
@@ -60,6 +65,7 @@ def test_registry_complete():
         (relational.revenue_rollup, relational.revenue_rollup_sql()),
         (simsearch.pq_topk, simsearch.pq_topk_sql()),
         (simsearch.ivfpq_topk, simsearch.ivfpq_topk_sql()),
+        (sliding_event_counts_batch, sliding_event_counts_sql()),
     ],
     ids=lambda x: getattr(x, "__name__", "sql"),
 )
@@ -191,6 +197,7 @@ def test_driver_window_is_fully_oracled():
         "rel_stratified_sample",
         "ts_frequent_terms",
         "ev_sessionize_native",
+        "ev_sliding_counts",
         "kg_bfs_levels",
         "kg_pmi",
         "kg_kcore",
@@ -249,3 +256,17 @@ def test_asof_left_form_keeps_all_purchases(spark):
     matched = left.filter(F.col("asof_error_ts").isNotNull())
     assert matched.exceptAll(inner).count() == 0
     assert inner.exceptAll(matched).count() == 0
+
+
+def test_sliding_windows_double_the_tumbling_mass(spark):
+    """width = 2 x slide puts every event in exactly two windows, so the
+    sliding aggregate's event mass must be exactly double the tumbling
+    twin's — an integer-exact global invariant of the expansion."""
+    from kg.streaming import (
+        sliding_event_counts_batch,
+        windowed_event_counts_batch,
+    )
+
+    sl = sliding_event_counts_batch(spark, SF_DIR).agg({"n": "sum"}).collect()[0][0]
+    tu = windowed_event_counts_batch(spark, SF_DIR).agg({"n": "sum"}).collect()[0][0]
+    assert sl == 2 * tu
