@@ -256,9 +256,22 @@ def canonical_map(spark: SparkSession, max_component: int | None = 1000) -> Data
     key = max_component
     if key not in _CANON_CACHE:
         _CANON_CACHE[key] = _canonical_map_rows(max_component)
-    return spark.createDataFrame(
-        _CANON_CACHE[key], "surface string, canonical_id long, canonical_name string"
-    )
+    # per-session DataFrame memo on top of the row memo: the map is static
+    # dictionary state, and re-running createDataFrame costs ~0.3-0.5 s of
+    # Python->JVM conversion per query invocation (guide §4.5)
+    cache = getattr(spark, "_kg_canon_map_df", None)
+    if cache is None:
+        cache = {}
+        try:
+            spark._kg_canon_map_df = cache
+        except AttributeError:
+            pass
+    if key not in cache:
+        cache[key] = spark.createDataFrame(
+            _CANON_CACHE[key],
+            "surface string, canonical_id long, canonical_name string",
+        )
+    return cache[key]
 
 
 def _canonical_map_rows(max_component: int | None) -> list[tuple[str, int, str]]:

@@ -99,23 +99,59 @@ _UNI_TABLE = str.maketrans(
     _UNICODE_SRC + _ACCENT_SRC, _UNICODE_DST + _ACCENT_DST
 )
 
+# RE2 rewrite strings use \1 backrefs like Python's re
+_RE2_LATEX = [(p, r.replace("$1", "\\1")) for p, r in _LATEX_STEPS]
+# one RE2 char class matching any translate-table source char — rows
+# without a hit skip the per-row Python translate entirely (none of the
+# chars is an RE2 class metacharacter)
+_TRANS_CLASS = "[" + _UNICODE_SRC + _ACCENT_SRC + "]"
+
 
 def clean_text_pandas(s: pd.Series) -> pd.Series:
-    """Arrow-batch pandas mirror of :func:`clean_text_col` — SAME entity
-    list and SAME fixed accent-fold table, so the two paths are
-    interchangeable on ANY input (round 1 used open-ended html.unescape +
-    NFKD here, which diverged from the native path on entity-rich or
-    accented text; a three-way lockstep test now pins the semantics)."""
-    s = s.str.replace(_TAG_RE, " ", regex=True)
+    """Arrow-batch mirror of :func:`clean_text_col` — SAME entity list and
+    SAME fixed accent-fold table, so the two paths are interchangeable on
+    ANY input (round 1 used open-ended html.unescape + NFKD here, which
+    diverged from the native path on entity-rich or accented text; a
+    three-way lockstep test pins the semantics).
+
+    r06: the regex chain runs through pyarrow.compute (RE2, vectorized C)
+    instead of pandas object-dtype ``str.replace`` (one Python
+    ``re.sub`` call per row per step — profiled at ~50% of the whole
+    fused kernel; guide §4.2, hand whole batches to vectorized native
+    libraries). RE2 vs Python-re semantics are identical for this fixed
+    pattern set (no backrefs in patterns, ASCII classes; the DuckDB
+    oracle already runs these same patterns under RE2). The only
+    non-regex step, the fixed unicode/accent fold, stays Python
+    ``str.translate`` but only over the rows an RE2 scan says contain a
+    mapped char (~5% of spans) — byte-identical to folding every row."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(s.astype(object), type=pa.string(), from_pandas=True)
+    arr = pc.replace_substring_regex(arr, pattern=r"<[^>]+>", replacement=" ")
     for src, dst in _HTML_ENTITIES:
-        s = s.str.replace(src, dst, regex=False)
-    for rx, rep in _PY_LATEX:
-        s = s.str.replace(rx, rep, regex=True)
-    for rx, rep in _PY_URLS:
-        s = s.str.replace(rx, rep, regex=True)
-    s = s.map(lambda t: t.translate(_UNI_TABLE))
-    s = s.str.replace(_WS_RE, " ", regex=True).str.strip().str.lower()
-    return s
+        arr = pc.replace_substring(arr, pattern=src, replacement=dst)
+    for pat, rep in _RE2_LATEX:
+        arr = pc.replace_substring_regex(arr, pattern=pat, replacement=rep)
+    for pat, rep in _URL_STEPS:
+        arr = pc.replace_substring_regex(arr, pattern=pat, replacement=rep)
+    # fixed-table fold, applied only where a source char is present
+    mask = pc.match_substring_regex(arr, _TRANS_CLASS)
+    if pc.any(mask).as_py():
+        py = arr.to_pylist()
+        m = mask.to_pylist()
+        arr = pa.array(
+            [
+                t.translate(_UNI_TABLE) if (hit and t is not None) else t
+                for t, hit in zip(py, m)
+            ],
+            type=pa.string(),
+        )
+    arr = pc.replace_substring_regex(arr, pattern=r"\s+", replacement=" ")
+    arr = pc.utf8_lower(pc.utf8_trim_whitespace(arr))
+    out = arr.to_pandas()
+    out.index = s.index
+    return out
 
 
 # SQL mirror for the DuckDB oracle (single-expression chain over a column

@@ -105,18 +105,16 @@ def fused_extract_triples(
 ) -> DataFrame:
     """Flat documents parquet -> TRIPLES_SURFACE via one Arrow kernel."""
     flat = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    if replicate > 1:
-        reps = spark.range(replicate).select(F.col("id").alias("_rep"))
-        flat = flat.crossJoin(reps).select(
-            (F.col("doc_id") + F.col("_rep") * REPLICA_STRIDE).alias("doc_id"),
-            "text",
-        )
-    # Parallelism guard: a small input (or a crossJoin that inherits one
-    # scan partition) must be spread across the workers before the Python
-    # kernel. Decide from driver-side file sizes — probing
-    # flat.rdd.getNumPartitions() costs a ~1.3 s plan->RDD conversion per
-    # session. At real scale (total bytes >> threshold) the scan already
-    # has plenty of splits and no shuffle is added.
+    # Parallelism guard: a small input must be spread across the workers
+    # before the Python kernel. Decide from driver-side file sizes —
+    # probing flat.rdd.getNumPartitions() costs a ~1.3 s plan->RDD
+    # conversion per session. At real scale (total bytes >> threshold)
+    # the scan already has plenty of splits and no shuffle is added.
+    # The guard runs BEFORE the replicate crossJoin (guide §2.3, shuffle
+    # fewer bytes): round-robin repartitioning the base corpus moves it
+    # once; repartitioning after the tiling used to shuffle the full
+    # replicated payload (x64 the bytes for the same balance — each base
+    # partition fans out to `replicate` identical-size outputs anyway).
     import os
 
     target = spark.sparkContext.defaultParallelism
@@ -129,55 +127,167 @@ def fused_extract_triples(
         total_bytes = 0
     if total_bytes < 1 << 30:
         flat = flat.repartition(target)
+    if replicate > 1:
+        reps = spark.range(replicate).select(F.col("id").alias("_rep"))
+        flat = flat.crossJoin(F.broadcast(reps)).select(
+            (F.col("doc_id") + F.col("_rep") * REPLICA_STRIDE).alias("doc_id"),
+            "text",
+        )
 
     return flat.mapInPandas(_run_batches, schema=TRIPLES_SURFACE)
+
+
+def _split_nonempty(texts):
+    """Vectorized ``[w for w in t.split(' ') if w]`` over a string column:
+    one RE2-free Arrow split, then empty tokens dropped by offset
+    arithmetic. Returns (tokens: np.ndarray[object], tokens_arrow: the
+    same values as an Arrow array — kept for hash-based pc.is_in, far
+    faster than sort-based np.isin on object dtype —, starts: int64
+    per-row first-token index, counts: int64 per-row token count)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(texts, type=pa.string(), from_pandas=True)
+    split = pc.split_pattern(arr, " ")
+    words = pc.list_flatten(split)
+    row_len = np.asarray(pc.list_value_length(split).cast(pa.int64()))
+    starts_all = np.concatenate(([0], np.cumsum(row_len)))
+    keep_arrow = pc.not_equal(words, "")
+    keep = np.asarray(keep_arrow.to_numpy(zero_copy_only=False), dtype=bool)
+    kcum = np.concatenate(([0], np.cumsum(keep)))
+    counts = kcum[starts_all[1:]] - kcum[starts_all[:-1]]
+    kept_arrow = words.filter(keep_arrow)
+    tokens = kept_arrow.to_numpy(zero_copy_only=False)
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    return tokens, kept_arrow, starts, counts
 
 
 def _run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """The fused kernel: (doc_id:int64, text) batches -> TRIPLES_SURFACE
     batches. Module-level so batch (fused_extract_triples) and streaming
-    (kg.streaming.stream_extract_triples) share it verbatim."""
+    (kg.streaming.stream_extract_triples) share it verbatim.
+
+    r06: pass 1 (span derivation) and pass 3 (mention-pair extraction)
+    are numpy/Arrow-vectorized — the previous per-doc/per-token Python
+    loops were ~half the kernel after the cleaning pass went Arrow
+    (guide §4.2: batch work belongs in vectorized native libraries).
+    Semantics are unchanged and pinned by tests/test_fused.py (fused ==
+    native HOF path == DuckDB oracle, row-for-row)."""
+    import numpy as np
+
     _maybe_inject_failure()
     for pdf in batches:
-        out: dict[str, list] = {k: [] for k in TRIPLES_SURFACE.fieldNames()}
-        # pass 1: derive spans from RAW words (kg.synth contract);
-        # collect text-span chunks for one vectorized cleaning pass
-        text_spans: list[tuple[str, int, str]] = []  # (doc_id, offset, chunk)
-        for doc_num, text in zip(pdf["doc_id"], pdf["text"]):
-            doc_num = int(doc_num)
-            doc_id_str = f"doc-{doc_num:07d}"
-            words = [w for w in text.split(" ") if w]
-            n_spans = (len(words) + WORDS_PER_SPAN - 1) // WORDS_PER_SPAN
-            for i in range(n_spans):
-                if (doc_num + i) % MEDIA_EVERY == 0:
-                    kind = MEDIA_KINDS[(doc_num + i) % 3]
-                    out["doc_id"].append(doc_id_str)
-                    out["offset"].append(i)
-                    out["subj_surface"].append(doc_id_str)
-                    out["pred"].append("has_" + kind)
-                    out["obj_surface"].append(f"media://{kind}/{doc_num}-{i}")
-                    out["subj_pos"].append(-1)
-                    out["obj_pos"].append(-1)
-                else:
-                    chunk = " ".join(
-                        words[i * WORDS_PER_SPAN : (i + 1) * WORDS_PER_SPAN]
-                    )
-                    # the raw span carries the planted dirt (kg.synth
-                    # contract); pass 2's vectorized clean removes it
-                    text_spans.append(
-                        (doc_id_str, i, plant_dirt_py(doc_num, i, chunk))
-                    )
-        # pass 2: vectorized normalize (stage-0 kernel), then extract
-        if text_spans:
-            cleaned = clean_text_pandas(
-                pd.Series([c for _, _, c in text_spans])
-            )
-            for (doc_id_str, i, _), ctext in zip(text_spans, cleaned):
-                if _EXTRACTOR_COST:
-                    _simulated_model_cost(ctext)
-                toks = [w for w in ctext.split(" ") if w]
-                _extract_span(out, doc_id_str, i, toks)
-        res = pd.DataFrame(out)
+        doc_nums = pdf["doc_id"].to_numpy(dtype="int64")
+        doc_ids = np.array(
+            ["doc-%07d" % n for n in doc_nums], dtype=object
+        )
+        tokens, _tok_arrow, tok_start, tok_count = _split_nonempty(pdf["text"])
+
+        # span table: doc index + span offset per span (kg.synth contract)
+        n_spans = (tok_count + WORDS_PER_SPAN - 1) // WORDS_PER_SPAN
+        total = int(n_spans.sum())
+        doc_idx = np.repeat(np.arange(len(doc_nums)), n_spans)
+        span_i = np.arange(total) - np.repeat(
+            np.cumsum(n_spans) - n_spans, n_spans
+        )
+        s_key = doc_nums[doc_idx] + span_i
+        is_media = (s_key % MEDIA_EVERY) == 0
+
+        # media rows (pass 1 output)
+        m_doc = doc_idx[is_media]
+        m_key = s_key[is_media]
+        kinds = np.array(MEDIA_KINDS, dtype=object)[m_key % 3]
+        m_nums = doc_nums[m_doc]
+        m_off = span_i[is_media]
+        media = {
+            "doc_id": doc_ids[m_doc],
+            "offset": m_off,
+            "subj_surface": doc_ids[m_doc],
+            "pred": np.array(
+                ["has_" + k for k in kinds], dtype=object
+            ),
+            "obj_surface": np.array(
+                [
+                    f"media://{k}/{n}-{i}"
+                    for k, n, i in zip(kinds, m_nums, m_off)
+                ],
+                dtype=object,
+            ),
+            "subj_pos": np.full(len(m_doc), -1, dtype="int64"),
+            "obj_pos": np.full(len(m_doc), -1, dtype="int64"),
+        }
+
+        # text spans: raw chunks carry the planted dirt (kg.synth contract)
+        t_doc = doc_idx[~is_media]
+        t_i = span_i[~is_media]
+        tok_list = tokens.tolist()  # list slicing is ~2x numpy fancy-index
+        a = (tok_start[t_doc] + t_i * WORDS_PER_SPAN).tolist()
+        b = np.minimum(
+            tok_start[t_doc] + (t_i + 1) * WORDS_PER_SPAN,
+            tok_start[t_doc] + tok_count[t_doc],
+        ).tolist()
+        t_nums = doc_nums[t_doc].tolist()
+        t_is = t_i.tolist()
+        chunks = [
+            plant_dirt_py(n, i, " ".join(tok_list[lo:hi]))
+            for n, i, lo, hi in zip(t_nums, t_is, a, b)
+        ]
+
+        # pass 2: vectorized normalize (stage-0 Arrow kernel)
+        cleaned = clean_text_pandas(pd.Series(chunks, dtype=object))
+        if _EXTRACTOR_COST:
+            for ctext in cleaned:
+                _simulated_model_cost(ctext)
+
+        # pass 3: vectorized mention-pair extraction (kg.extract rules)
+        ctok, ctok_arrow, c_start, c_count = _split_nonempty(cleaned)
+        c_off = np.concatenate((c_start, [c_start[-1] + c_count[-1]])) if len(
+            c_start
+        ) else np.zeros(1, dtype="int64")
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        is_ent = np.asarray(
+            pc.is_in(ctok_arrow, value_set=pa.array(sorted(_ENT)))
+            .to_numpy(zero_copy_only=False),
+            dtype=bool,
+        )
+        is_pred = np.asarray(
+            pc.is_in(ctok_arrow, value_set=pa.array(sorted(_PRED)))
+            .to_numpy(zero_copy_only=False),
+            dtype=bool,
+        )
+        ment = np.flatnonzero(is_ent)
+        span_of = np.searchsorted(c_off, ment, side="right") - 1
+        valid = span_of[:-1] == span_of[1:] if len(ment) else np.zeros(0, bool)
+        g1 = ment[:-1][valid]
+        g2 = ment[1:][valid]
+        sp = span_of[:-1][valid]
+        pidx = np.flatnonzero(is_pred)
+        if len(pidx):
+            j = np.searchsorted(pidx, g1 + 1, side="left")
+            jc = np.minimum(j, len(pidx) - 1)
+            has = (j < len(pidx)) & (pidx[jc] < g2)
+            preds = np.where(has, ctok[pidx[jc]], DEFAULT_PRED)
+        else:
+            preds = np.full(len(g1), DEFAULT_PRED, dtype=object)
+        triples = {
+            "doc_id": doc_ids[t_doc[sp]],
+            "offset": t_i[sp],
+            "subj_surface": ctok[g1],
+            "pred": preds,
+            "obj_surface": ctok[g2],
+            "subj_pos": g1 - c_off[sp],
+            "obj_pos": g2 - c_off[sp],
+        }
+
+        res = pd.DataFrame(
+            {
+                k: np.concatenate((media[k], triples[k]))
+                for k in TRIPLES_SURFACE.fieldNames()
+            }
+        )
         res["offset"] = res["offset"].astype("int32")
         res["subj_pos"] = res["subj_pos"].astype("int32")
         res["obj_pos"] = res["obj_pos"].astype("int32")

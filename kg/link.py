@@ -29,10 +29,133 @@ from kg.vocab import ENTITY_KIND, alias_pairs
 
 
 def alias_dict(spark: SparkSession) -> DataFrame:
-    """(surface, target, target_id) — the broadcast linking dictionary."""
+    """(surface, target, target_id) — the broadcast linking dictionary.
+
+    Memoized per session: the dictionary is static vocabulary (kg.vocab),
+    and re-running ``createDataFrame`` costs ~0.5 s of Python->JVM
+    conversion per query invocation (guide §4.5 — heavyweight init once).
+    """
+    cached = getattr(spark, "_kg_alias_dict_df", None)
+    if cached is not None:
+        return cached
     rows = [(s, t) for s, t in alias_pairs()]
     df = spark.createDataFrame(rows, "surface string, target string")
-    return df.withColumn("target_id", id64(F.concat(F.lit("ent:"), F.col("target"))))
+    df = df.withColumn("target_id", id64(F.concat(F.lit("ent:"), F.col("target"))))
+    try:
+        spark._kg_alias_dict_df = df
+    except AttributeError:  # exotic session proxies: just skip the memo
+        pass
+    return df
+
+
+def _composed_link_rows(max_component: int | None = 1000) -> list[tuple[str, int]]:
+    """(surface, final_id) — the alias-dictionary hop COMPOSED with the
+    canonical-map remap, computed driver-side over the two static tables.
+
+    Equivalence with the two-stage chain (link_triples then
+    canonicalize_triples): a mention surface s in the dictionary maps to
+    target_id = id64('ent:'+target(s)), which stage 3 remaps through
+    ent_map = {id64('ent:'+surface): canonical_id} when present; a
+    surface outside the dictionary falls back to id64('ent:'+s), which
+    is never an ent_map key (ent_map keys cover exactly the dictionary
+    surfaces). So the composition is a pure function of the two static
+    dictionaries and collapses stage 2+3 into ONE broadcast map —
+    asserted equal to the two-stage chain in tests/test_link.py.
+    """
+    from kg.canonicalize import _canonical_map_rows
+    from kg.ids import py_id64
+
+    ent_map = {
+        py_id64("ent:" + s): cid for s, cid, _ in _canonical_map_rows(max_component)
+    }
+    rows = []
+    for s, t in alias_pairs():
+        tid = py_id64("ent:" + t)
+        rows.append((s, ent_map.get(tid, tid)))
+    return sorted(rows)
+
+
+def composed_link_map(
+    spark: SparkSession, max_component: int | None = 1000
+) -> DataFrame:
+    """(surface, final_id) broadcast map = canonicalize ∘ link (see
+    :func:`_composed_link_rows`). Memoized per session like
+    :func:`alias_dict`."""
+    cache = getattr(spark, "_kg_composed_map_df", None)
+    if cache is None:
+        cache = {}
+        try:
+            spark._kg_composed_map_df = cache
+        except AttributeError:
+            pass
+    if max_component not in cache:
+        cache[max_component] = spark.createDataFrame(
+            _composed_link_rows(max_component), "surface string, final_id long"
+        )
+    return cache[max_component]
+
+
+def link_canonicalize_triples(
+    triples_surface: DataFrame,
+    spark: SparkSession,
+    max_component: int | None = 1000,
+) -> DataFrame:
+    """Stage 2+3 in ONE pass for dictionary mode: TRIPLES_SURFACE ->
+    canonical TRIPLES via two broadcast joins against the composed
+    surface->canonical_id map (instead of four: link joined each mention
+    side against the alias dict, then canonicalize joined each side
+    again against the ent remap — two extra broadcast exchanges and two
+    extra join operators per query for maps that compose statically;
+    guide §2.4, remove shuffles/exchanges outright). Output-identical to
+    ``canonicalize_triples(link_triples(t, alias_dict(spark)), canonical_map(spark))``
+    — asserted in tests/test_link.py and by every consumer's oracle."""
+    m = F.broadcast(composed_link_map(spark, max_component))
+    is_mention = F.col("subj_pos") >= 0
+    return (
+        triples_surface.join(
+            m.select(
+                F.col("surface").alias("subj_surface"),
+                F.col("final_id").alias("_subj_fid"),
+            ),
+            "subj_surface",
+            "left",
+        )
+        .join(
+            m.select(
+                F.col("surface").alias("obj_surface"),
+                F.col("final_id").alias("_obj_fid"),
+            ),
+            "obj_surface",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "offset",
+            F.when(
+                is_mention,
+                F.coalesce(
+                    "_subj_fid", id64(F.concat(F.lit("ent:"), F.col("subj_surface")))
+                ),
+            )
+            .otherwise(id64(F.concat(F.lit("doc:"), F.col("doc_id"))))
+            .alias("subj_id"),
+            F.when(is_mention, F.lit(ENTITY_KIND))
+            .otherwise(F.lit("document"))
+            .alias("subj_kind"),
+            "pred",
+            F.when(
+                is_mention,
+                F.coalesce(
+                    "_obj_fid", id64(F.concat(F.lit("ent:"), F.col("obj_surface")))
+                ),
+            )
+            .otherwise(id64(F.col("obj_surface")))
+            .alias("obj_id"),
+            F.when(is_mention, F.lit(ENTITY_KIND))
+            .otherwise(F.lit("media"))
+            .alias("obj_kind"),
+        )
+    )
 
 
 def empty_alias_dict(spark: SparkSession) -> DataFrame:

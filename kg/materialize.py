@@ -30,6 +30,23 @@ class InjectedFailure(RuntimeError):
     """Raised by tests to simulate a mid-run kill between partition groups."""
 
 
+def parquet_rows(path: str) -> int:
+    """Exact row count from parquet footers, read driver-side (no Spark
+    job). The staged-write commit loop and the pipeline's final counts
+    used to pay a full Spark job each (~0.2-0.4 s of scheduling per
+    count, 6+ jobs per pipeline run) for what is a metadata read; at
+    cluster scale this is the same footer metadata, fetched through the
+    filesystem client instead of a distributed job."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
+
+
 def with_bucket(edges: DataFrame, n_buckets: int) -> DataFrame:
     return edges.withColumn(
         "bucket", F.pmod(F.col("subj_id"), F.lit(n_buckets)).cast("int")
@@ -107,13 +124,32 @@ def materialize_partitioned(
     subset = df.withColumn("part_group", part_group)
     if len(remaining) < n_groups:
         subset = subset.filter(F.col("part_group").isin(remaining))
-    # deterministic file layout: range-partition then sort inside.
-    # Explicit partition count — without it AQE coalesces the shuffle to
-    # ~64MB partitions and the (expensive) sort+encode+write stage runs
-    # nearly serial regardless of cluster size.
-    n_write = max(spark.sparkContext.defaultParallelism, 2)
-    rng = [F.col("part_group")] + [F.col(c) for c in (range_cols or sort_cols[:2])]
-    subset.repartitionByRange(n_write, *rng).sortWithinPartitions(
+    # deterministic file layout: HASH-partition on (part_group, first
+    # cluster col) then sort inside. Hash, not repartitionByRange: the
+    # range partitioner runs a SAMPLING job that executes the entire
+    # upstream plan (extraction kernel included) a second time before
+    # the real shuffle (guide §2.4 — an Exchange you did not expect;
+    # measured at sf0.1 x64: 15.2 s range vs 9.6 s hash for the same
+    # write). Hash partitioning is equally deterministic. The hash key
+    # deliberately stops at the FIRST cluster col (the bucket): with
+    # part_group a function of the bucket, every task's rows for one
+    # bucket land in one file — hashing finer (bucket, subj_id) spread
+    # each part_group across every task and wrote n_tasks x n_groups
+    # tiny files, which cost ~1 s per downstream scan of the table
+    # (guide §6, small files hurt twice). No explicit partition count:
+    # AQE sizes the write stage from the actual shuffle bytes
+    # (advisoryPartitionSizeInBytes), so a small run writes a few
+    # right-sized files instead of one near-empty file per core while a
+    # large run keeps full write parallelism — the scale-adaptive
+    # partitioning the round brief demands (a fixed n_write=parallelism
+    # was tuned to the big case and flooded every downstream scan of
+    # the small case with tiny map tasks; the upstream extraction keeps
+    # its own width either way, AQE only coalesces the post-shuffle
+    # sort+encode side).
+    cluster = [F.col("part_group")] + [
+        F.col(c) for c in (range_cols or sort_cols[:2])[:1]
+    ]
+    subset.repartition(*cluster).sortWithinPartitions(
         "part_group", *sort_cols
     ).write.mode("overwrite").partitionBy("part_group").parquet(staging)
 
@@ -130,7 +166,7 @@ def materialize_partitioned(
             if os.path.exists(dst):
                 shutil.rmtree(dst)
             shutil.move(src, dst)
-            rows = spark.read.parquet(dst).count()  # parquet-footer count
+            rows = parquet_rows(dst)  # driver-side footer count, no job
         mf.commit_partition(
             spark,
             out_dir,
@@ -248,24 +284,38 @@ def build_nodes_from_edges(canon: DataFrame, edges_final: DataFrame) -> DataFram
     ).distinct()
     media_edges = edges_final.filter(F.col("pred").startswith("has_"))
     doc_num = F.substring(F.col("doc_id"), 5, 20).cast("long")
-    docs = media_edges.select(
-        F.col("subj_id").alias("entity_id"),
-        F.col("doc_id").alias("name"),
-        F.lit("document").alias("kind"),
-    ).distinct()
-    media = media_edges.select(
-        F.col("obj_id").alias("entity_id"),
-        F.concat(
-            F.lit("media://"),
-            F.substring(F.col("pred"), 5, 100),
-            F.lit("/"),
-            doc_num,
-            F.lit("-"),
-            F.col("offset"),
-        ).alias("name"),
-        F.lit("media").alias("kind"),
-    ).distinct()
-    all_nodes = concepts.unionByName(docs).unionByName(media)
+    # doc + media nodes in ONE pass over the media rows (r06: the
+    # docs/media two-select union scanned the edges table twice and paid
+    # two distinct exchanges; one explode + one distinct halves both —
+    # same single-pass shape build_nodes already uses)
+    doc_media = (
+        media_edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("subj_id").alias("entity_id"),
+                        F.col("doc_id").alias("name"),
+                        F.lit("document").alias("kind"),
+                    ),
+                    F.struct(
+                        F.col("obj_id").alias("entity_id"),
+                        F.concat(
+                            F.lit("media://"),
+                            F.substring(F.col("pred"), 5, 100),
+                            F.lit("/"),
+                            doc_num,
+                            F.lit("-"),
+                            F.col("offset"),
+                        ).alias("name"),
+                        F.lit("media").alias("kind"),
+                    ),
+                )
+            ).alias("n")
+        )
+        .select("n.entity_id", "n.name", "n.kind")
+        .distinct()
+    )
+    all_nodes = concepts.unionByName(doc_media)
     mentions = (
         edges_final.select(
             F.explode(F.array("subj_id", "obj_id")).alias("entity_id")
@@ -294,13 +344,14 @@ def materialize_nodes(
         return 0
     started = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
     path = nodes_path(out_dir)
-    # shard by entity hash — a single-file write would serialize the node
-    # build onto one task (and one writer) regardless of cluster size
-    n_shards = max(1, spark.sparkContext.defaultParallelism)
-    nodes.repartition(n_shards, "entity_id").sortWithinPartitions(
+    # shard by entity hash; no explicit shard count — AQE sizes the
+    # write stage from actual bytes (advisory size), so the table gets
+    # a few right-sized files at small scale and full parallelism at
+    # large scale instead of a fixed parallelism-many near-empty files
+    nodes.repartition("entity_id").sortWithinPartitions(
         "entity_id"
     ).write.mode("overwrite").parquet(path)
-    rows = spark.read.parquet(path).count()
+    rows = parquet_rows(path)  # driver-side footer count, no job
     mf.commit_partition(
         spark,
         out_dir,

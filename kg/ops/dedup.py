@@ -74,20 +74,60 @@ FROM documents GROUP BY 1 HAVING count(*) > 1"""
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def _shingle_batches(batches):
+    """Arrow kernel: (doc_id:int64, text) batches -> per-doc DISTINCT
+    word-3-grams. Vectorized end to end: one C split, numpy window
+    indexing, one C element-wise join, hash-based dedup — no per-token
+    Python and no interpreted JVM array HOFs."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for pdf in batches:
+        arr = pa.array(pdf["text"].astype(object), type=pa.string(), from_pandas=True)
+        split = pc.split_pattern(arr, " ")
+        words = pc.list_flatten(split)
+        row_len = np.asarray(pc.list_value_length(split).cast(pa.int64()))
+        starts_all = np.concatenate(([0], np.cumsum(row_len)))
+        keep_arrow = pc.not_equal(words, "")
+        keep = np.asarray(keep_arrow.to_numpy(zero_copy_only=False), dtype=bool)
+        kcum = np.concatenate(([0], np.cumsum(keep)))
+        counts = kcum[starts_all[1:]] - kcum[starts_all[:-1]]
+        kept = words.filter(keep_arrow)
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+
+        n_g = np.maximum(counts - (SHINGLE_W - 1), 0)
+        doc_idx = np.repeat(np.arange(len(counts)), n_g)
+        pos = np.arange(int(n_g.sum())) - np.repeat(np.cumsum(n_g) - n_g, n_g)
+        base = starts[doc_idx] + pos
+        idx = pa.array(base, type=pa.int64())
+        parts = [kept.take(pa.array(base + j)) for j in range(SHINGLE_W)]
+        del idx
+        grams = pc.binary_join_element_wise(*parts, " ")
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(dtype="int64")[doc_idx],
+                "sh": grams.to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        yield out
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word-3-grams per doc (docs shorter than W yield none)."""
-    d = _docs(spark, sf_dir)
-    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
-    sh = F.when(
-        F.size(toks) >= SHINGLE_W,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - SHINGLE_W),
-            lambda i: F.array_join(F.slice(toks, i + 1, SHINGLE_W), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return (
-        d.select("doc_id", F.explode(sh).alias("sh")).distinct()
-    )
+    """Distinct word-3-grams per doc (docs shorter than W yield none).
+
+    r06: Arrow kernel instead of the interpreted JVM array-HOF chain
+    (transform(sequence)+slice+array_join cost 2.6 s alone at sf0.1 —
+    the same allocation-bound HOF pathology kg/fused.py documents for
+    extraction; guide §4.2). The kernel emits per-doc-distinct shingles
+    directly, so the corpus-sized ``.distinct()`` exchange disappears
+    from every consumer — (doc_id, sh)-distinct equals per-doc distinct
+    because doc_id is part of the key. Oracle SQL (_SHINGLES_SQL) is
+    unchanged; dd_minhash_signatures / dd_lsh_candidates /
+    dd_neardup_pairs stay oracle-exact."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.mapInPandas(_shingle_batches, schema="doc_id long, sh string")
 
 
 _SHINGLES_SQL = f"""

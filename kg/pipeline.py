@@ -34,6 +34,7 @@ from kg.materialize import (
     materialize_edges,
     materialize_nodes,
     materialize_partitioned,
+    parquet_rows,
     with_bucket,
 )
 from kg.normalize import normalize_spans
@@ -145,12 +146,26 @@ def run_pipeline(
             triples_surface, "stage_extract", ["doc_id", "offset", "subj_pos"]
         )
         canon = _canon_for(spark, triples_surface, canonicalize)
-        aliases = (
-            alias_dict(spark) if canonicalize == "dict" else empty_alias_dict(spark)
-        )
-        linked = link_triples(triples_surface, aliases)
-        linked = _stage_ckpt(linked, "stage_link", ["doc_id", "offset", "subj_id"])
-        final = canonicalize_triples(linked, canon)
+        if canonicalize == "dict" and not checkpoint_stages:
+            # stage 2+3 composed into ONE broadcast-map pass (the alias
+            # dict and canonical map are both static, so their composition
+            # is too — two broadcast joins instead of four; kg.link).
+            # checkpoint_stages keeps the two-stage path: stage_link's
+            # durable output is the UNcanonicalized linked table.
+            from kg.link import link_canonicalize_triples
+
+            final = link_canonicalize_triples(triples_surface, spark)
+        else:
+            aliases = (
+                alias_dict(spark)
+                if canonicalize == "dict"
+                else empty_alias_dict(spark)
+            )
+            linked = link_triples(triples_surface, aliases)
+            linked = _stage_ckpt(
+                linked, "stage_link", ["doc_id", "offset", "subj_id"]
+            )
+            final = canonicalize_triples(linked, canon)
         # NO .persist(): caching tens of millions of rows turns the JVM
         # into a GC bottleneck that erases multi-core scaling (measured:
         # extract 8s uncached vs 50s cached at local[32]). The written
@@ -197,7 +212,9 @@ def run_pipeline(
             spark, nodes, out_dir, run_id=run_id, lineage=lineage
         )
         _mark("nodes written")
-        n_edges_total = edges_final.count()
+        # footer metadata count — the table was just written and counted
+        # group-by-group; a distributed count job re-reads nothing new
+        n_edges_total = parquet_rows(f"{out_dir}/edges")
     finally:
         for df in persisted:
             df.unpersist()

@@ -88,17 +88,17 @@ def _top_entities_from_edges(
 
 
 def q_top_entities(spark: SparkSession, sf_dir: str, limit: int = 20) -> DataFrame:
-    """Flagship: most-mentioned canonical concepts (native-expression
-    extraction path).
-
-    NOTE on the two extraction paths: this native-expression variant costs
-    3-4x the fused Arrow twin in one JVM (fresh-JVM timing at sf0.1,
-    local[32]: 20.2 s vs 7.7 s — interpreted array-HOF extraction is
-    allocation/GC-bound and anti-scales with threads; PLANS.md §2). It is
-    kept as the DuckDB-oracle-parity path; the at-scale configuration is
-    :func:`q_top_entities_fused`, which is also the pipeline default
-    (``--extractor fused``)."""
-    return _top_entities_from_edges(spark, q_edges(spark, sf_dir), limit)
+    """Flagship: most-mentioned canonical concepts — served through the
+    fused Arrow extraction kernel (round-5 VERDICT item 6: the flagship
+    row used to run the native-expression extraction path, which costs
+    3-4x the fused twin in one JVM — interpreted array-HOF extraction is
+    allocation/GC-bound and anti-scales with threads; PLANS.md §2 — for
+    zero correctness gain, since the two paths are output-identical:
+    asserted in tests/test_fused.py and by both queries sharing ONE
+    oracle SQL). The native path remains fully exercised by the
+    kg_triples_surface / kg_linked / kg_edges / kg_nodes driver rows and
+    stays the oracle-parity reference implementation."""
+    return q_top_entities_fused(spark, sf_dir, limit)
 
 
 def q_top_entities_fused(
@@ -107,12 +107,14 @@ def q_top_entities_fused(
     """Flagship through the fused Arrow kernel — the at-scale extraction
     configuration (kg/fused.py); same oracle as kg_top_entities (the two
     extraction paths are output-identical, asserted in tests/test_fused.py
-    and by this query sharing kg_top_entities' oracle SQL)."""
+    and by this query sharing kg_top_entities' oracle SQL). Stage 2+3 run
+    as the composed single-pass broadcast map (kg.link.link_canonicalize_
+    triples — two broadcast joins instead of four, output-identical)."""
     from kg.fused import fused_extract_triples
+    from kg.link import link_canonicalize_triples
 
     triples = fused_extract_triples(spark, sf_dir)
-    canon = canonical_map(spark)
-    final = canonicalize_triples(link_triples(triples, alias_dict(spark)), canon)
+    final = link_canonicalize_triples(triples, spark)
     return _top_entities_from_edges(
         spark, final.select("subj_id", "pred", "obj_id", "doc_id", "offset"), limit
     )

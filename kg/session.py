@@ -49,8 +49,29 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # default 64m coalesces a ~1GB shuffle to ~16 tasks — too coarse to
-        # keep 32 cores busy on CPU-heavy post-shuffle stages (sort/encode)
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        # keep 32 cores busy on CPU-heavy post-shuffle stages (sort/encode).
+        # r06: 4m (was 16m) — the staged parquet write is CPU-dense per
+        # shuffled byte (sort + dictionary encode + zstd), so the byte-based
+        # advisory must sit low for the write stage to keep enough tasks
+        # once coalescing is real (parallelismFirst=false below; measured
+        # at sf0.1 x64: write stage 6.5 s at 16m/20 tasks vs 5.2 s at
+        # 4m/~40 tasks, while tiny-input stages still collapse to 1 task
+        # either way). Env-overridable for cluster runs where shuffles are
+        # IO-bound and larger partitions win (guide §9 suggests 256m there).
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("KG_ADVISORY_PARTITION", "4m"),
+        )
+        # r06: actually COALESCE BY SIZE. Spark's default parallelismFirst
+        # =true ignores the advisory size and keeps ~default-parallelism
+        # reduce tasks, so every small aggregation paid ~2x cores worth of
+        # near-empty task dispatches (~10 ms each in local mode; measured
+        # 1.40 s -> 0.35 s on a 184k-row explode+groupBy). Size-based
+        # coalescing is the scale-adaptive behavior the guide prescribes
+        # (§2.2): tiny inputs collapse to few tasks, 100 TB inputs keep
+        # full width, and explicit repartition(n, ...) stages (the
+        # CPU-heavy staged writes) are never coalesced by AQE.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

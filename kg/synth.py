@@ -181,18 +181,16 @@ def load_interleaved(
     semantics per document are unchanged.
     """
     flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    if replicate > 1:
-        reps = spark.range(replicate).select(F.col("id").alias("_rep"))
-        flat = flat.crossJoin(reps).select(
-            (F.col("doc_id") + F.col("_rep") * REPLICA_STRIDE).alias("doc_id"),
-            "text",
-        )
     # Local-mode adaptation: the sandbox corpus is ONE small parquet file =
     # one input split, which would serialize the whole (CPU-heavy) extract
     # chain onto a single core. On a real lake the scan has thousands of
     # splits and this repartition never fires. Decided from driver-side
     # file sizes like kg/fused.py — the df.rdd.getNumPartitions() probe
     # costs a ~1.3 s plan->RDD conversion per session (PLANS.md §7).
+    # Runs BEFORE the replicate crossJoin so only the base corpus is
+    # shuffled, not the tiled payload (guide §2.3 — shuffle fewer bytes;
+    # each base partition fans out to `replicate` equal outputs, so the
+    # balance is identical).
     import os
 
     try:
@@ -204,6 +202,12 @@ def load_interleaved(
         total_bytes = 0
     if total_bytes < 1 << 30:
         flat = flat.repartition(spark.sparkContext.defaultParallelism)
+    if replicate > 1:
+        reps = spark.range(replicate).select(F.col("id").alias("_rep"))
+        flat = flat.crossJoin(F.broadcast(reps)).select(
+            (F.col("doc_id") + F.col("_rep") * REPLICA_STRIDE).alias("doc_id"),
+            "text",
+        )
     return interleaved_documents(flat)
 
 

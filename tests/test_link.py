@@ -102,3 +102,22 @@ def test_salted_join_defuses_hot_key_skew(spark):
     # load down by >= 3x
     assert s_parts >= 4, s_parts
     assert s_max <= p_max / 3, (s_max, p_max)
+
+
+def test_link_canonicalize_composed_equals_two_stage(spark):
+    """r06 optimization: stages 2+3 composed into one broadcast-map pass
+    (kg.link.link_canonicalize_triples) must be row-identical to the
+    two-stage chain link_triples -> canonicalize_triples, including the
+    dictionary-miss fallback ids and the media branches."""
+    from kg.canonicalize import canonical_map, canonicalize_triples
+    from kg.link import link_canonicalize_triples
+
+    docs = load_interleaved(spark, SF_DIR)
+    triples = extract_triples(normalize_spans(docs))
+    two_stage = canonicalize_triples(
+        link_triples(triples, alias_dict(spark)), canonical_map(spark)
+    )
+    composed = link_canonicalize_triples(triples, spark)
+    assert composed.columns == two_stage.columns
+    assert composed.exceptAll(two_stage).count() == 0
+    assert two_stage.exceptAll(composed).count() == 0
