@@ -288,6 +288,35 @@ def _canonical_map_rows(max_component: int | None) -> list[tuple[str, int, str]]
     return sorted(rows)
 
 
+def canonical_concepts(
+    spark: SparkSession, max_component: int | None = 1000
+) -> DataFrame:
+    """Distinct (entity_id, name, kind='concept') node rows of the
+    dictionary canonical map, deduplicated DRIVER-side (r06): the map is
+    static vocabulary, so deriving concepts via ``canon.select(...)
+    .distinct()`` paid a runtime Exchange per pipeline run for a
+    dictionary-sized dedup a set comprehension does for free. Memoized
+    per session like :func:`canonical_map`."""
+    cache = getattr(spark, "_kg_concepts_df", None)
+    if cache is None:
+        cache = {}
+        try:
+            spark._kg_concepts_df = cache
+        except AttributeError:
+            pass
+    if max_component not in cache:
+        if max_component not in _CANON_CACHE:
+            _CANON_CACHE[max_component] = _canonical_map_rows(max_component)
+        rows = sorted(
+            {(cid, name) for _s, cid, name in _CANON_CACHE[max_component]}
+        )
+        cache[max_component] = spark.createDataFrame(
+            [(cid, name, "concept") for cid, name in rows],
+            "entity_id long, name string, kind string",
+        )
+    return cache[max_component]
+
+
 def canonical_map_from_corpus(
     surfaces: DataFrame,
     max_distance: int = 1,

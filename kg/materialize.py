@@ -146,10 +146,14 @@ def materialize_partitioned(
     # the small case with tiny map tasks; the upstream extraction keeps
     # its own width either way, AQE only coalesces the post-shuffle
     # sort+encode side).
+    # REBALANCE rather than plain repartition(cols): same hash
+    # clustering, but AQE may also SPLIT an oversized partition (one hot
+    # bucket at real scale) instead of only merging small ones — the
+    # split bucket just writes two sorted files.
     cluster = [F.col("part_group")] + [
         F.col(c) for c in (range_cols or sort_cols[:2])[:1]
     ]
-    subset.repartition(*cluster).sortWithinPartitions(
+    subset.hint("rebalance", *cluster).sortWithinPartitions(
         "part_group", *sort_cols
     ).write.mode("overwrite").partitionBy("part_group").parquet(staging)
 
@@ -268,7 +272,11 @@ def build_nodes(
     )
 
 
-def build_nodes_from_edges(canon: DataFrame, edges_final: DataFrame) -> DataFrame:
+def build_nodes_from_edges(
+    canon: DataFrame,
+    edges_final: DataFrame,
+    concepts: DataFrame | None = None,
+) -> DataFrame:
     """NODES rebuilt purely from the materialized edges table (plus the
     tiny canonical map) — no re-run of the extraction kernel.
 
@@ -276,12 +284,18 @@ def build_nodes_from_edges(canon: DataFrame, edges_final: DataFrame) -> DataFram
     node names: ``pred = 'has_<kind>'``, ``doc_id = 'doc-%07d' % n`` and
     ``media_ref = 'media://<kind>/<n>-<offset>'`` (kg.synth derivation
     contract). Equality with :func:`build_nodes` is asserted in tests.
+
+    ``concepts`` (r06): an already-distinct (entity_id, name, kind) frame
+    — dictionary mode passes kg.canonicalize.canonical_concepts, which
+    dedupes the static map driver-side instead of paying a runtime
+    Exchange for a dictionary-sized distinct.
     """
-    concepts = canon.select(
-        F.col("canonical_id").alias("entity_id"),
-        F.col("canonical_name").alias("name"),
-        F.lit("concept").alias("kind"),
-    ).distinct()
+    if concepts is None:
+        concepts = canon.select(
+            F.col("canonical_id").alias("entity_id"),
+            F.col("canonical_name").alias("name"),
+            F.lit("concept").alias("kind"),
+        ).distinct()
     media_edges = edges_final.filter(F.col("pred").startswith("has_"))
     doc_num = F.substring(F.col("doc_id"), 5, 20).cast("long")
     # doc + media nodes in ONE pass over the media rows (r06: the

@@ -205,7 +205,12 @@ def run_pipeline(
         # instead of recomputing the extraction DAG or caching it in-heap
         edges_final = spark.read.parquet(f"{out_dir}/edges")
         if extractor == "fused":
-            nodes = build_nodes_from_edges(canon, edges_final)
+            concepts = None
+            if canonicalize == "dict":
+                from kg.canonicalize import canonical_concepts
+
+                concepts = canonical_concepts(spark)
+            nodes = build_nodes_from_edges(canon, edges_final, concepts=concepts)
         else:
             nodes = build_nodes(triples_surface, canon, edges_final)
         n_nodes = materialize_nodes(

@@ -73,15 +73,15 @@ def main() -> None:
     )
     n_write = max(spark.sparkContext.defaultParallelism, 2)
     sort_cols = ["bucket", "subj_id", "pred", "obj_id", "doc_id", "offset"]
-    cluster = [F.col("part_group"), F.col("bucket"), F.col("subj_id")]
-    try:
-        shaped = bucketed.repartition(n_write, *cluster)
-        # round-start tree used repartitionByRange; detect via git state is
-        # overkill — the suffix tells the reader which tree produced it
-        if suffix == "before":
-            shaped = bucketed.repartitionByRange(n_write, *cluster)
-    except Exception:
-        shaped = bucketed.repartitionByRange(n_write, *cluster)
+    if suffix == "before":
+        # round-start write shape: range partitioning, explicit width
+        shaped = bucketed.repartitionByRange(
+            n_write, F.col("part_group"), F.col("bucket"), F.col("subj_id")
+        )
+    else:
+        # current write shape (kg/materialize.py): AQE-flexible REBALANCE
+        # on (part_group, bucket)
+        shaped = bucketed.hint("rebalance", F.col("part_group"), F.col("bucket"))
     plans["kg_pipeline_write_stage"] = shaped.sortWithinPartitions(
         "part_group", *sort_cols
     )

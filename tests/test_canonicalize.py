@@ -74,3 +74,25 @@ def test_corpus_canonicalization_pipeline(spark, tmp_path):
     # fused and sql extractors agree under corpus canonicalization too
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     assert sa["edges_total"] == sb["edges_total"] > 0
+
+
+def test_canonical_concepts_equals_distinct_derivation(spark):
+    """r06: the driver-side deduped concepts frame must equal the runtime
+    distinct over the canonical map (the nodes-build input it replaces)."""
+    from pyspark.sql import functions as F
+
+    from kg.canonicalize import canonical_concepts, canonical_map
+
+    derived = (
+        canonical_map(spark)
+        .select(
+            F.col("canonical_id").alias("entity_id"),
+            F.col("canonical_name").alias("name"),
+            F.lit("concept").alias("kind"),
+        )
+        .distinct()
+    )
+    literal = canonical_concepts(spark)
+    assert literal.columns == derived.columns
+    assert literal.exceptAll(derived).count() == 0
+    assert derived.exceptAll(literal).count() == 0

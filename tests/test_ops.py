@@ -270,3 +270,63 @@ def test_sliding_windows_double_the_tumbling_mass(spark):
     sl = sliding_event_counts_batch(spark, SF_DIR).agg({"n": "sum"}).collect()[0][0]
     tu = windowed_event_counts_batch(spark, SF_DIR).agg({"n": "sum"}).collect()[0][0]
     assert sl == 2 * tu
+
+
+def test_shingle_kernel_matches_python_reference(spark):
+    """r06: the Arrow shingle kernel (kg.ops.dedup._shingle_batches) must
+    reproduce the per-doc distinct word-3-gram set of the plain-Python
+    definition on edge-case docs (short/empty/multi-space/duplicate
+    shingles) and on the fixture corpus."""
+    import pandas as pd
+
+    from kg.ops.dedup import SHINGLE_W, _shingle_batches
+
+    def reference(doc_id, text):
+        toks = [w for w in text.split(" ") if w]
+        if len(toks) < SHINGLE_W:
+            return set()
+        return {
+            (doc_id, " ".join(toks[i : i + SHINGLE_W]))
+            for i in range(len(toks) - SHINGLE_W + 1)
+        }
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            "text": [
+                "a b c d e",
+                "a  b   c",  # multi-space runs
+                "x y",  # below W -> no shingles
+                "",
+                "r r r r r r",  # duplicate shingles collapse
+                "one two three",
+            ],
+        }
+    )
+    got = set()
+    for out in _shingle_batches(iter([docs])):
+        got |= {(int(r.doc_id), r.sh) for r in out.itertuples()}
+    want = set()
+    for r in docs.itertuples():
+        want |= reference(int(r.doc_id), r.text)
+    assert got == want
+    # output is already distinct (no (doc_id, sh) dupes)
+    rows = [
+        (int(r.doc_id), r.sh)
+        for out in _shingle_batches(iter([docs]))
+        for r in out.itertuples()
+    ]
+    assert len(rows) == len(set(rows))
+
+
+def test_parquet_rows_matches_spark_count(spark, tmp_path):
+    """r06: footer-based row counts (used by the staged-write commit loop
+    instead of per-group Spark count jobs) must equal a real count, incl.
+    over a partitioned directory tree."""
+    from kg.materialize import parquet_rows
+
+    path = str(tmp_path / "t")
+    spark.range(1234).selectExpr("id", "id % 3 as g").write.partitionBy(
+        "g"
+    ).parquet(path)
+    assert parquet_rows(path) == 1234
