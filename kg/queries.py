@@ -64,8 +64,15 @@ def q_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _top_entities_from_edges(
     spark: SparkSession, edges: DataFrame, limit: int
 ) -> DataFrame:
-    canon_names = (
-        canonical_map(spark).select("canonical_id", "canonical_name").distinct()
+    # r06: (canonical_id, canonical_name) deduped driver-side — the map
+    # is static vocabulary, and the runtime .distinct() paid an Exchange
+    # stage per query for a dictionary-sized dedup (kg.canonicalize.
+    # canonical_concepts; equivalence pinned in tests)
+    from kg.canonicalize import canonical_concepts
+
+    canon_names = canonical_concepts(spark).select(
+        F.col("entity_id").alias("canonical_id"),
+        F.col("name").alias("canonical_name"),
     )
     # explode both endpoints in ONE pass — a subj/obj unionByName would
     # duplicate the entire upstream extraction DAG
