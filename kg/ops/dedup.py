@@ -114,7 +114,9 @@ def _shingle_batches(batches):
         yield out
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingles(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
     """Distinct word-3-grams per doc (docs shorter than W yield none).
 
     r06: Arrow kernel instead of the interpreted JVM array-HOF chain
@@ -127,6 +129,26 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged; dd_minhash_signatures / dd_lsh_candidates /
     dd_neardup_pairs stay oracle-exact."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
+    # parallelism guard (same rationale/sizing as kg.fused): the sandbox
+    # corpus is one small file = one scan split, which would serialize
+    # the kernel AND the 8-way md5 signature aggregation that consumes
+    # its output partitions map-side; at real scale the scan has many
+    # splits and no shuffle is added. ``spread=False`` skips it for
+    # consumers that only feed broadcast-side joins (the intersection
+    # verify sides), where the added exchange costs more than the
+    # kernel's trivial single-split compute.
+    if spread:
+        import os
+
+        try:
+            total_bytes = sum(
+                os.path.getsize(p.removeprefix("file:"))
+                for p in d.inputFiles()
+            )
+        except OSError:
+            total_bytes = 0
+        if total_bytes < 1 << 30:
+            d = d.repartition(spark.sparkContext.defaultParallelism)
     return d.mapInPandas(_shingle_batches, schema="doc_id long, sh string")
 
 
@@ -230,7 +252,7 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate subtrees differ, so ReuseExchange can never kick in)
     sig_sizes = _sig_sizes(spark, sf_dir).localCheckpoint(eager=False)
     cand = lsh_candidate_pairs(spark, sf_dir, sig=sig_sizes.drop("n_sh"))
-    sh = _shingles(spark, sf_dir)
+    sh = _shingles(spark, sf_dir, spread=False)
     sizes = sig_sizes.select("doc_id", "n_sh")
     a_sh = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh"))
     b_sh = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh"))
