@@ -81,40 +81,19 @@ def _maybe_inject_failure() -> None:
         )
 
 
-def _extract_span(
-    out: dict, doc_id_str: str, offset: int, toks: list[str]
-) -> None:
-    """Mention-pair triples for one cleaned text span (kg.extract rules)."""
-    ment = [p for p, w in enumerate(toks) if w in _ENT]
-    for p1, p2 in zip(ment, ment[1:]):
-        pred = next(
-            (toks[q] for q in range(p1 + 1, p2) if toks[q] in _PRED),
-            DEFAULT_PRED,
-        )
-        out["doc_id"].append(doc_id_str)
-        out["offset"].append(offset)
-        out["subj_surface"].append(toks[p1])
-        out["pred"].append(pred)
-        out["obj_surface"].append(toks[p2])
-        out["subj_pos"].append(p1)
-        out["obj_pos"].append(p2)
-
-
 def fused_extract_triples(
     spark: SparkSession, sf_dir: str, replicate: int = 1
 ) -> DataFrame:
     """Flat documents parquet -> TRIPLES_SURFACE via one Arrow kernel."""
     flat = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     # Parallelism guard: a small input must be spread across the workers
-    # before the Python kernel. Decide from driver-side file sizes —
-    # probing flat.rdd.getNumPartitions() costs a ~1.3 s plan->RDD
-    # conversion per session. At real scale (total bytes >> threshold)
-    # the scan already has plenty of splits and no shuffle is added.
-    # The guard runs BEFORE the replicate crossJoin (guide §2.3, shuffle
-    # fewer bytes): round-robin repartitioning the base corpus moves it
-    # once; repartitioning after the tiling used to shuffle the full
-    # replicated payload (x64 the bytes for the same balance — each base
-    # partition fans out to `replicate` identical-size outputs anyway).
+    # before the Python kernel (with kernel-side tiling below, each of
+    # the `replicate` copies of a partition's docs is processed by that
+    # partition's worker, so the guard also sets the tiled parallelism).
+    # Decide from driver-side file sizes — probing
+    # flat.rdd.getNumPartitions() costs a ~1.3 s plan->RDD conversion
+    # per session. At real scale (total bytes >> threshold) the scan
+    # already has plenty of splits and no shuffle is added.
     import os
 
     target = spark.sparkContext.defaultParallelism

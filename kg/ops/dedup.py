@@ -101,9 +101,7 @@ def _shingle_batches(batches):
         doc_idx = np.repeat(np.arange(len(counts)), n_g)
         pos = np.arange(int(n_g.sum())) - np.repeat(np.cumsum(n_g) - n_g, n_g)
         base = starts[doc_idx] + pos
-        idx = pa.array(base, type=pa.int64())
         parts = [kept.take(pa.array(base + j)) for j in range(SHINGLE_W)]
-        del idx
         grams = pc.binary_join_element_wise(*parts, " ")
         out = pd.DataFrame(
             {

@@ -35,7 +35,6 @@ from kg.materialize import (
     materialize_nodes,
     materialize_partitioned,
     parquet_rows,
-    with_bucket,
 )
 from kg.normalize import normalize_spans
 from kg.session import get_spark
