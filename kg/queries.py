@@ -68,12 +68,9 @@ def _top_entities_from_edges(
     # is static vocabulary, and the runtime .distinct() paid an Exchange
     # stage per query for a dictionary-sized dedup (kg.canonicalize.
     # canonical_concepts; equivalence pinned in tests)
-    from kg.canonicalize import canonical_concepts
+    from kg.canonicalize import canonical_concept_rows, canonical_concepts
+    from kg.link import literal_map_max
 
-    canon_names = canonical_concepts(spark).select(
-        F.col("entity_id").alias("canonical_id"),
-        F.col("name").alias("canonical_name"),
-    )
     # explode both endpoints in ONE pass — a subj/obj unionByName would
     # duplicate the entire upstream extraction DAG
     cnt = (
@@ -83,15 +80,29 @@ def _top_entities_from_edges(
         .groupBy("entity_id")
         .agg(F.count("*").alias("n_mentions"))
     )
-    return (
-        cnt.join(
+    name_rows = canonical_concept_rows()
+    if len(name_rows) <= literal_map_max():
+        # literal name map: the inner join against the 15-row concepts
+        # frame becomes a constant-folded lookup + null filter — no
+        # broadcast exchange, no join stage (same move as
+        # kg.link.composed_link_expr; equal keys are unique, so
+        # lookup-and-filter is exactly the unique-key inner join)
+        name_map = F.create_map(
+            *[part for cid, nm in name_rows for part in (F.lit(cid), F.lit(nm))]
+        )
+        named = cnt.select(
+            name_map[F.col("entity_id")].alias("name"), "n_mentions"
+        ).filter(F.col("name").isNotNull())
+    else:
+        canon_names = canonical_concepts(spark).select(
+            F.col("entity_id").alias("canonical_id"),
+            F.col("name").alias("canonical_name"),
+        )
+        named = cnt.join(
             F.broadcast(canon_names),
             cnt.entity_id == canon_names.canonical_id,
-        )
-        .select(F.col("canonical_name").alias("name"), "n_mentions")
-        .orderBy(F.desc("n_mentions"), F.asc("name"))
-        .limit(limit)
-    )
+        ).select(F.col("canonical_name").alias("name"), "n_mentions")
+    return named.orderBy(F.desc("n_mentions"), F.asc("name")).limit(limit)
 
 
 def q_top_entities(spark: SparkSession, sf_dir: str, limit: int = 20) -> DataFrame:

@@ -121,3 +121,35 @@ def test_link_canonicalize_composed_equals_two_stage(spark):
     assert composed.columns == two_stage.columns
     assert composed.exceptAll(two_stage).count() == 0
     assert two_stage.exceptAll(composed).count() == 0
+
+
+def test_literal_map_link_equals_join_path(spark, monkeypatch):
+    """r06 optimization: the literal-map linking path (composed map folded
+    into a GetMapValue expression) must be row-identical to the
+    broadcast-join path — KG_LITERAL_MAP_MAX=0 forces the join fallback,
+    so both code paths run on the same input. Covers dictionary hits,
+    dictionary-miss fallback ids, and the media branches."""
+    from kg.link import composed_link_expr, link_canonicalize_triples
+
+    docs = load_interleaved(spark, SF_DIR)
+    triples = extract_triples(normalize_spans(docs))
+    assert composed_link_expr() is not None  # vocab fits the bound
+    literal = link_canonicalize_triples(triples, spark)
+    monkeypatch.setenv("KG_LITERAL_MAP_MAX", "0")
+    assert composed_link_expr() is None  # bound disabled -> join path
+    joined = link_canonicalize_triples(triples, spark)
+    assert literal.columns == joined.columns
+    assert literal.exceptAll(joined).count() == 0
+    assert joined.exceptAll(literal).count() == 0
+
+
+def test_top_entities_literal_names_equal_join_path(spark, monkeypatch):
+    """The flagship's literal name-map lookup (kg.queries
+    _top_entities_from_edges) must return exactly the broadcast-join
+    form's rows, in order."""
+    from kg.queries import q_top_entities_fused
+
+    literal = q_top_entities_fused(spark, SF_DIR).collect()
+    monkeypatch.setenv("KG_LITERAL_MAP_MAX", "0")
+    joined = q_top_entities_fused(spark, SF_DIR).collect()
+    assert literal == joined
