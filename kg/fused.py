@@ -96,7 +96,9 @@ def fused_extract_triples(
     # already has plenty of splits and no shuffle is added.
     import os
 
-    target = spark.sparkContext.defaultParallelism
+    from kg.session import spread_partitions
+
+    target = spread_partitions(spark)
     try:
         total_bytes = sum(
             os.path.getsize(p.removeprefix("file:"))

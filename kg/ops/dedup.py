@@ -138,6 +138,8 @@ def _shingles(
     if spread:
         import os
 
+        from kg.session import spread_partitions
+
         try:
             total_bytes = sum(
                 os.path.getsize(p.removeprefix("file:"))
@@ -146,7 +148,7 @@ def _shingles(
         except OSError:
             total_bytes = 0
         if total_bytes < 1 << 30:
-            d = d.repartition(spark.sparkContext.defaultParallelism)
+            d = d.repartition(spread_partitions(spark))
     return d.mapInPandas(_shingle_batches, schema="doc_id long, sh string")
 
 

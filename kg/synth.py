@@ -201,7 +201,9 @@ def load_interleaved(
     except OSError:  # non-local paths: fall back to the safe repartition
         total_bytes = 0
     if total_bytes < 1 << 30:
-        flat = flat.repartition(spark.sparkContext.defaultParallelism)
+        from kg.session import spread_partitions
+
+        flat = flat.repartition(spread_partitions(spark))
     if replicate > 1:
         reps = spark.range(replicate).select(F.col("id").alias("_rep"))
         flat = flat.crossJoin(F.broadcast(reps)).select(
