@@ -45,11 +45,12 @@ HW_NOTE = (
     "4->16 = 3.36x (0.841), 8->32 = 3.02x (0.755) - SMT/turbo/memory-"
     "bandwidth effects a real cluster of separate hosts does not have. "
     "The 2->8 pair is therefore used for the gate (least distorted). "
-    "Supplementary 8->32 weighted single runs (round 4, current code, two "
-    "pairs): 8,956-9,228 -> 22,277-24,804 triples/s = 2.49-2.69x, eff "
-    "0.62-0.67 = 82-89% of that pair's "
+    "Supplementary 8->32 weighted single runs (round-6 HEAD, two pairs): "
+    "20,560-20,731 -> 49,870-53,523 triples/s = 2.41-2.60x, eff "
+    "0.60-0.65 = 80-86% of that pair's "
     "3.02x machine ceiling (single-box I/O/scheduling that extra threads "
-    "cannot parallelize accounts for the rest)."
+    "cannot parallelize accounts for the rest; round 4 measured the same "
+    "ceiling fractions at ~2.3x lower absolute throughput)."
 )
 
 
